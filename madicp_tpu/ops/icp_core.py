@@ -1,0 +1,134 @@
+"""Point-to-plane ICP core: association, residuals, normal equations, GN step.
+
+Re-designs the reference's per-leaf serial loop (``mad_icp.cpp:74-117``)
+as fused batched math: the whole moving-leaf set descends the fixed tree
+at once, residual/Jacobian/weight are vectorised, and the 6x6 normal
+equations form as one masked ``(sqrt(w) J)^T (sqrt(w) J)`` matmul that XLA
+places on the MXU. Accumulation across keyframes is a reduction over a
+leading axis (``vmap`` + sum, or ``psum`` over a mesh axis — see
+``madicp_tpu.parallel``), replacing OpenMP per-thread adders
+(``mad_icp.cpp:37-38, 100-110``).
+
+Contracts reproduced (SURVEY.md §2.1.3-6):
+- gate: accept a match iff ``|X m - f| <= b_max + b_ratio * |m|``
+  (``mad_icp.cpp:81-83``);
+- residual ``e = (X m - f_mean) . n_f``; Jacobian ``J = [n_f^T R,
+  -n_f^T R skew(m)]`` (``mad_icp.cpp:59-72``);
+- Huber-style clamp at ``|e| > sqrt(rho_ker)`` (the reference ctor stores
+  ``sqrt(rho_ker)``, ``mad_icp.cpp:31-32, 92-96``) times the squared
+  planarity weight ``(1 - bbox0_f / b_max)^2`` (``mad_icp.cpp:97-98``);
+- GN update: ``dx = -H^{-1} b``; ``X <- X * [exp(dx_rot) | dx_trans]``
+  (``mad_icp.cpp:105-117``) with state ordering ``[t(3), omega(3)]``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from madicp_tpu.ops.lie import exp_se3_split
+from madicp_tpu.ops.tree import SearchTree, search_tree
+
+
+class IcpTerms(NamedTuple):
+    H: jnp.ndarray        # (6, 6)
+    b: jnp.ndarray        # (6,)
+    matched: jnp.ndarray  # (L,) bool — gated matches of this fixed tree
+
+
+def icp_terms(
+    fixed_tree: SearchTree,
+    moving_pts: jnp.ndarray,
+    moving_valid: jnp.ndarray,
+    X: jnp.ndarray,
+    *,
+    b_max,
+    b_ratio,
+    rho_ker,
+) -> IcpTerms:
+    """Normal-equation contribution of one fixed tree for the moving leaves.
+
+    Args:
+        fixed_tree: the map keyframe tree (already in the map frame).
+        moving_pts: (L, 3) moving leaf representatives, in the *local* frame.
+        moving_valid: (L,) bool.
+        X: (4, 4) current moving-to-fixed estimate.
+        b_max / b_ratio / rho_ker: solver parameters (``mad_params.py:31-38``).
+    """
+    dtype = moving_pts.dtype
+    R = X[:3, :3]
+    t = X[:3, 3]
+    rho = jnp.sqrt(jnp.asarray(rho_ker, dtype))
+
+    ml = moving_pts @ R.T + t
+    leaf = search_tree(fixed_tree, ml)
+    f_pt = jnp.take(fixed_tree.repr, leaf, axis=0)
+    f_n = jnp.take(fixed_tree.normal, leaf, axis=0)
+    f_bbox0 = jnp.take(fixed_tree.bbox0, leaf)
+    f_ok = jnp.take(fixed_tree.is_leaf & fixed_tree.is_real, leaf)
+
+    # adaptive-radius gate (radius grows with point range)
+    diff = ml - f_pt
+    dist = jnp.linalg.norm(diff, axis=-1)
+    src_ball = b_max + b_ratio * jnp.linalg.norm(moving_pts, axis=-1)
+    matched = (dist <= src_ball) & moving_valid & f_ok
+
+    # residual and analytic Jacobian: with u = R^T n,
+    # J = [u^T, (m x u)^T]  (since -u^T skew(m) = (m x u)^T)
+    e = jnp.sum(diff * f_n, axis=-1)
+    u = f_n @ R
+    J = jnp.concatenate([u, jnp.cross(moving_pts, u)], axis=-1)  # (L, 6)
+
+    chi = jnp.abs(e)
+    scale = jnp.where(chi > rho, rho / jnp.maximum(chi, 1e-30), 1.0)
+    w_plan = jnp.clip(1.0 - f_bbox0 / b_max, 0.0, 1.0)
+    s = scale * w_plan * w_plan * matched.astype(dtype)
+
+    Jw = J * jnp.sqrt(s)[:, None]
+    H = jnp.einsum("li,lj->ij", Jw, Jw, preferred_element_type=dtype)
+    b = jnp.einsum("li,l->i", J, s * e, preferred_element_type=dtype)
+    return IcpTerms(H=H, b=b, matched=matched)
+
+
+def icp_normal_equations(H_parts: jnp.ndarray, b_parts: jnp.ndarray):
+    """Reduce per-keyframe (K,6,6)/(K,6) contributions (OpenMP-adder analog)."""
+    return jnp.sum(H_parts, axis=0), jnp.sum(b_parts, axis=0)
+
+
+def solve_gn(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``H dx = -b`` with Jacobi scaling for f32 robustness.
+
+    The reference uses an f64 LDLT (``mad_icp.cpp:111``); on TPU we stay in
+    f32 and precondition: translation and rotation blocks of H differ by
+    ~range^2 in magnitude, and symmetric diagonal scaling keeps the 6x6
+    solve well-conditioned. Returns zeros when H is (numerically) empty.
+    """
+    dtype = H.dtype
+    diag = jnp.diagonal(H)
+    good = jnp.sum(diag) > 0
+    d = jnp.sqrt(jnp.maximum(diag, 1e-30))
+    d = jnp.where(diag > 0, d, 1.0)
+    Hs = H / (d[:, None] * d[None, :])
+    bs = b / d
+    dx = jnp.linalg.solve(Hs + 1e-8 * jnp.eye(6, dtype=dtype), -bs) / d
+    dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+    return jnp.where(good, dx, jnp.zeros_like(dx))
+
+
+def gn_se3_step(X: jnp.ndarray, H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """One right-multiplicative Gauss-Newton update of X (``mad_icp.cpp:105-117``)."""
+    dx = solve_gn(H, b)
+    return X @ exp_se3_split(dx)
+
+
+def neg_logdet(H: jnp.ndarray) -> jnp.ndarray:
+    """Monotone surrogate of the keyframe information weight.
+
+    The reference ranks candidate frames by ``det(H^{-1})`` — smaller is
+    more informative (``pipeline.cpp:223, 234-244``). ``det`` of a 6x6 with
+    metre-scale entries overflows f32, so we rank by ``-log det H`` which
+    orders identically and stays finite.
+    """
+    sign, logdet = jnp.linalg.slogdet(H)
+    return jnp.where(sign > 0, -logdet, jnp.asarray(jnp.finfo(H.dtype).max, H.dtype))

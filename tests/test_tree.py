@@ -1,0 +1,226 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from madicp_tpu.ops.tree import (
+    build_tree,
+    search_tree,
+    get_leaves,
+    count_leaves,
+    transform_tree,
+    tree_arena_size,
+)
+import reference_oracle as oracle
+
+
+def _build(points, b_max, b_min, depth, pad_to=None):
+    n = points.shape[0]
+    pad_to = pad_to or n
+    pts = np.zeros((pad_to, 3))
+    pts[:n] = points
+    valid = np.zeros(pad_to, bool)
+    valid[:n] = True
+    tree, point_leaf = jax.jit(
+        lambda p, v: build_tree(p, v, depth=depth, b_max=b_max, b_min=b_min)
+    )(jnp.asarray(pts), jnp.asarray(valid))
+    return tree, np.asarray(point_leaf), valid
+
+
+def _partition_ours(point_leaf, valid):
+    groups = {}
+    for i, lid in enumerate(point_leaf):
+        if not valid[i]:
+            continue
+        groups.setdefault(int(lid), []).append(i)
+    return {frozenset(v) for v in groups.values()}
+
+
+def _partition_oracle(root):
+    return {frozenset(l.point_idx.tolist()) for l in oracle.leaves(root)}
+
+
+def test_partition_matches_oracle(rng):
+    pts = rng.uniform(-2, 2, size=(400, 3))
+    pts[:, 2] *= 0.2
+    tree, point_leaf, valid = _build(pts, b_max=0.5, b_min=0.2, depth=12)
+    root = oracle.build(pts, b_max=0.5, b_min=0.2)
+    assert _partition_ours(point_leaf, valid) == _partition_oracle(root)
+
+
+def test_leaf_data_matches_oracle(four_walls):
+    pts = four_walls
+    b_max, b_min = 0.2, 0.1
+    tree, point_leaf, valid = _build(pts, b_max, b_min, depth=14)
+    root = oracle.build(pts, b_max, b_min)
+
+    ours = {}
+    t_repr = np.asarray(tree.repr)
+    t_norm = np.asarray(tree.normal)
+    t_bbox0 = np.asarray(tree.bbox0)
+    for i, lid in enumerate(point_leaf):
+        ours.setdefault(int(lid), set()).add(i)
+    ours_by_set = {
+        frozenset(v): (t_repr[k], t_norm[k], t_bbox0[k]) for k, v in ours.items()
+    }
+    n_checked = 0
+    for leaf in oracle.leaves(root):
+        key = frozenset(leaf.point_idx.tolist())
+        assert key in ours_by_set
+        r, n, b0 = ours_by_set[key]
+        np.testing.assert_allclose(r, leaf.repr, atol=1e-9)
+        # normals match up to sign
+        assert abs(abs(n @ leaf.normal) - 1.0) < 1e-6
+        np.testing.assert_allclose(b0, leaf.bbox[0], atol=1e-9)
+        n_checked += 1
+    assert n_checked == int(np.asarray(count_leaves(tree)))
+
+
+def test_per_point_leaves_self_match(four_walls):
+    # per-point leaves at b_max=1e-5: searching the build cloud returns
+    # each point exactly (the nn_search oracle, tools/README.md:9-10)
+    pts = four_walls[:512]
+    tree, point_leaf, valid = _build(pts, b_max=1e-5, b_min=0.1, depth=13)
+    leaf = np.asarray(search_tree(tree, jnp.asarray(pts)))
+    matched = np.asarray(tree.repr)[leaf]
+    np.testing.assert_allclose(matched, pts, atol=1e-12)
+
+
+def test_search_matches_oracle(rng, four_walls):
+    pts = four_walls
+    b_max, b_min = 0.2, 0.1
+    tree, _, _ = _build(pts, b_max, b_min, depth=14)
+    root = oracle.build(pts, b_max, b_min)
+    queries = pts[rng.integers(0, len(pts), 200)] + rng.normal(
+        size=(200, 3)
+    ) * 0.03
+    leaf = np.asarray(search_tree(tree, jnp.asarray(queries)))
+    t_repr = np.asarray(tree.repr)
+    for q, lid in zip(queries, leaf):
+        ref_leaf = oracle.search(root, q)
+        np.testing.assert_allclose(t_repr[lid], ref_leaf.repr, atol=1e-9)
+
+
+def test_normal_inheritance_on_plane(rng):
+    # one plane, small extents: plane predecessor makes descendant leaf
+    # normals identical (mad_tree.cpp:65-67, 90-93)
+    n = 2000
+    pts = np.column_stack(
+        [
+            rng.uniform(0, 4, n),
+            rng.uniform(0, 4, n),
+            rng.normal(size=n) * 0.001,
+        ]
+    )
+    tree, point_leaf, valid = _build(pts, b_max=0.5, b_min=0.1, depth=12)
+    flag = np.asarray(tree.is_leaf & tree.is_real)
+    normals = np.asarray(tree.normal)[flag]
+    z = np.array([0.0, 0.0, 1.0])
+    align = np.abs(normals @ z)
+    assert np.all(align > 0.999)
+
+
+def test_padding_invariance(rng):
+    pts = rng.uniform(-1, 1, size=(300, 3))
+    t1, pl1, v1 = _build(pts, 0.3, 0.1, depth=11)
+    t2, pl2, v2 = _build(pts, 0.3, 0.1, depth=11, pad_to=512)
+    assert _partition_ours(pl1, v1) == _partition_ours(
+        pl2[:512], v2
+    )
+    assert int(np.asarray(count_leaves(t1))) == int(np.asarray(count_leaves(t2)))
+
+
+def test_get_leaves_compaction(four_walls):
+    pts = four_walls
+    tree, _, _ = _build(pts, 0.2, 0.1, depth=14)
+    leaves = get_leaves(tree, max_leaves=pts.shape[0])
+    n_leaves = int(np.asarray(count_leaves(tree)))
+    assert int(np.asarray(jnp.sum(leaves.valid))) == n_leaves
+    # valid entries come first
+    lv = np.asarray(leaves.valid)
+    assert np.all(lv[:n_leaves]) and not np.any(lv[n_leaves:])
+
+
+def test_transform_tree(rng, four_walls):
+    from scipy.spatial.transform import Rotation
+
+    pts = four_walls[:1000]
+    tree, _, _ = _build(pts, 0.2, 0.1, depth=12)
+    R = Rotation.from_rotvec([0.2, -0.1, 0.4]).as_matrix()
+    t = np.array([1.0, -2.0, 0.5])
+    moved = transform_tree(tree, jnp.asarray(R), jnp.asarray(t))
+    # searching the moved tree with moved queries reproduces matches
+    q = pts[:50]
+    l1 = np.asarray(search_tree(tree, jnp.asarray(q)))
+    l2 = np.asarray(search_tree(moved, jnp.asarray(q @ R.T + t)))
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_allclose(
+        np.asarray(moved.repr)[l2], np.asarray(tree.repr)[l1] @ R.T + t, atol=1e-9
+    )
+
+
+def test_forced_depth_cap(rng):
+    # depth cap turns oversized nodes into leaves instead of failing
+    pts = rng.uniform(-10, 10, size=(256, 3))
+    tree, point_leaf, valid = _build(pts, b_max=1e-4, b_min=1e-5, depth=4)
+    assert tree.mean.shape[0] == tree_arena_size(4)
+    # every point is assigned to some real leaf
+    flag = np.asarray(tree.is_leaf & tree.is_real)
+    assert all(flag[lid] for lid in point_leaf[valid[: len(point_leaf)]])
+
+
+def test_single_and_two_point_nodes(rng):
+    # tiny clouds exercise the <3-point normal walk (mad_tree.cpp:68-73) and
+    # the always-degenerate 2-point plane predecessor (bbox0 == 0 < b_min,
+    # mad_tree.cpp:90-93). For a rank-1 ancestor covariance the inherited
+    # normal is only defined up to the degenerate 2D subspace (Eigen and our
+    # analytic solver may pick different, equally valid vectors), so we check
+    # the structural contract: unit normal orthogonal to the ancestor's span.
+    pts = rng.uniform(0, 1, size=(5, 3))
+    tree, point_leaf, valid = _build(pts, b_max=1e-6, b_min=1e-7, depth=8)
+    root = oracle.build(pts, b_max=1e-6, b_min=1e-7)
+    assert _partition_ours(point_leaf, valid) == _partition_oracle(root)
+    t_norm = np.asarray(tree.normal)
+
+    def source_node(leaf, chain):
+        # replicate the inheritance rule to find the source node's points
+        node, parents = chain
+        # plane predecessor: first ancestor with bbox0 < b_min
+        anc = []
+        c = chain
+        while c is not None:
+            anc.append(c[0])
+            c = c[1]
+        anc = anc[::-1]  # root first
+        for a in anc:
+            if not a.is_leaf and a.bbox[0] < 1e-7:
+                return a
+        n = leaf
+        for a in reversed(anc):
+            if n.npts >= 3:
+                break
+            n = a
+        return n
+
+    def chains(node, chain=None, out=None):
+        out = {} if out is None else out
+        if node.is_leaf:
+            out[frozenset(node.point_idx.tolist())] = (node, chain)
+            return out
+        chains(node.left, (node, chain), out)
+        chains(node.right, (node, chain), out)
+        return out
+
+    by_set = chains(root)
+    for key, (leaf, chain) in by_set.items():
+        lid = int(point_leaf[next(iter(key))])
+        n = t_norm[lid]
+        np.testing.assert_allclose(np.linalg.norm(n), 1.0, atol=1e-9)
+        src = leaf if chain is None else source_node(leaf, chain)
+        src_pts = pts[src.point_idx] if src.is_leaf else pts[
+            sorted(set().union(*[l.point_idx.tolist() for l in oracle.leaves(src)]))
+        ]
+        if src.npts >= 3:
+            assert abs(abs(n @ src.evecs[:, 0]) - 1.0) < 1e-6
+        elif src.npts == 2:
+            pair = src_pts[1] - src_pts[0]
+            assert abs(n @ pair) / np.linalg.norm(pair) < 1e-9
