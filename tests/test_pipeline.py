@@ -1,0 +1,112 @@
+import numpy as np
+import jax.numpy as jnp
+
+from madicp_tpu.models.pipeline import Pipeline
+from tests_fixtures_helper import synthetic_room_scans
+
+
+def _make_pipeline(**kw):
+    args = dict(
+        sensor_hz=10.0,
+        deskew=False,
+        b_max=0.2,
+        rho_ker=0.1,
+        p_th=0.8,
+        b_min=0.1,
+        b_ratio=0.02,
+        num_keyframes=4,
+        n_points=4096,
+        depth=12,
+        dtype=jnp.float64,
+    )
+    args.update(kw)
+    return Pipeline(**args)
+
+
+def test_pipeline_initialization(rng):
+    scans, _ = synthetic_room_scans(rng, n_scans=1)
+    p = _make_pipeline()
+    assert not p.is_initialized()
+    p.compute(0.0, scans[0])
+    assert p.is_initialized()
+    assert p.current_id() == 1
+    assert p.is_map_updated()
+    np.testing.assert_array_equal(p.current_pose(), np.eye(4))
+    assert p.model_leaves().shape[0] > 0
+
+
+def test_pipeline_tracks_synthetic_motion(rng):
+    scans, gt = synthetic_room_scans(rng, n_scans=6, step=0.06)
+    p = _make_pipeline()
+    # ground truth poses are relative to the first sensor pose
+    T0 = gt[0]
+    for i, scan in enumerate(scans):
+        p.compute(i * 0.1, scan)
+        est = p.current_pose()
+        rel_gt = np.linalg.inv(T0) @ gt[i]
+        t_err = np.linalg.norm(est[:3, 3] - rel_gt[:3, 3])
+        assert t_err < 0.05, f"scan {i}: translation error {t_err}"
+        R_err = np.arccos(
+            np.clip((np.trace(est[:3, :3].T @ rel_gt[:3, :3]) - 1) / 2, -1, 1)
+        )
+        assert R_err < 0.02, f"scan {i}: rotation error {R_err}"
+
+
+def test_pipeline_inlier_ratio_and_keyframes(rng):
+    scans, gt = synthetic_room_scans(rng, n_scans=5, step=0.05)
+    p = _make_pipeline(num_keyframes=2)
+    for i, scan in enumerate(scans):
+        p.compute(i * 0.1, scan)
+        if i > 0:
+            assert 0.0 <= p.inlier_ratio() <= 1.0
+            # overlapping synthetic scans should match well
+            assert p.inlier_ratio() > 0.5
+    kf_valid = np.asarray(p.state.kf_valid)
+    assert kf_valid.sum() >= 1
+
+
+def test_pipeline_keyframe_promotion_on_low_overlap(rng):
+    # feeding a far-away disjoint scene forces inlier ratio < p_th and a
+    # keyframe promotion (pipeline.cpp:234-262)
+    scans, _ = synthetic_room_scans(rng, n_scans=2, step=0.05)
+    p = _make_pipeline()
+    p.compute(0.0, scans[0])
+    kf_before = int(np.asarray(p.state.kf_valid).sum())
+    far = scans[1] + np.array([100.0, 0.0, 0.0])
+    p.compute(0.1, far)
+    assert p.inlier_ratio() < 0.8
+    assert p.is_map_updated()
+    kf_after = int(np.asarray(p.state.kf_valid).sum())
+    assert kf_after == kf_before + 1
+    assert p.keyframe_id() == 1
+
+
+def test_pipeline_frame_window_rolls(rng):
+    scans, _ = synthetic_room_scans(rng, n_scans=4, step=0.04)
+    p = _make_pipeline()
+    for i, s in enumerate(scans):
+        p.compute(i * 0.1, s)
+    seq = np.asarray(p.state.fr_seq)
+    valid = np.asarray(p.state.fr_valid)
+    # frames 1..3 recorded (frame 0 is the init keyframe, not in the window)
+    assert set(seq[valid].tolist()) <= {1, 2, 3}
+    assert p.current_id() == 4
+
+
+def test_pipeline_f32(rng):
+    scans, gt = synthetic_room_scans(rng, n_scans=4, step=0.05)
+    p = _make_pipeline(dtype=jnp.float32)
+    T0 = gt[0]
+    for i, scan in enumerate(scans):
+        p.compute(i * 0.1, scan)
+    rel_gt = np.linalg.inv(T0) @ gt[3]
+    t_err = np.linalg.norm(p.current_pose()[:3, 3] - rel_gt[:3, 3])
+    assert t_err < 0.08
+
+
+def test_pipeline_deskew_enabled_runs(rng):
+    scans, _ = synthetic_room_scans(rng, n_scans=3, step=0.04)
+    p = _make_pipeline(deskew=True)
+    for i, s in enumerate(scans):
+        p.compute(i * 0.1, s)
+    assert np.isfinite(p.current_pose()).all()

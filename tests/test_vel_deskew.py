@@ -1,0 +1,122 @@
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from madicp_tpu.models.vel_estimator import VelEstimator, estimate_velocity
+from madicp_tpu.ops.constants import SMOOTHING_T
+from madicp_tpu.ops.deskew import deskew_cloud
+import reference_oracle as oracle
+
+
+def _traj_const_vel(v, n, ts):
+    """Poses of a constant-twist trajectory sampled every ts."""
+    poses = [np.eye(4)]
+    for _ in range(n - 1):
+        d = np.eye(4)
+        d[:3, :3] = oracle.exp_so3(np.asarray(v[3:]) * ts)
+        d[:3, 3] = np.asarray(v[:3]) * ts
+        poses.append(poses[-1] @ d)
+    return poses
+
+
+def test_vel_estimator_matches_oracle(rng):
+    ts = 0.1
+    for n in [2, 4, 10]:
+        poses = [np.eye(4)]
+        for _ in range(n - 1):
+            d = np.eye(4)
+            d[:3, :3] = Rotation.from_rotvec(rng.normal(size=3) * 0.05).as_matrix()
+            d[:3, 3] = rng.normal(size=3) * 0.3
+            poses.append(poses[-1] @ d)
+        v0 = rng.normal(size=6) * 0.1
+
+        ref = oracle.vel_one_round(v0.copy(), poses, ts)
+
+        est = VelEstimator(sensor_hz=1.0 / ts)
+        est.init(v0)
+        est.set_odometry(poses)
+        ours = est.one_round()
+        np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+
+def test_vel_estimator_windowed_state(rng):
+    # functional form with padded window + count, as used inside the pipeline
+    ts = 0.1
+    n = 6
+    poses = _traj_const_vel([1.0, 0.2, 0.0, 0.0, 0.0, 0.3], n, ts)
+    W = SMOOTHING_T
+    traj = np.tile(np.eye(4), (W, 1, 1))
+    traj[W - n :] = np.stack(poses)
+    v0 = np.zeros(6)
+    ours = np.asarray(
+        estimate_velocity(jnp.asarray(v0), jnp.asarray(traj), jnp.asarray(n), ts)
+    )
+    ref = oracle.vel_one_round(v0, poses, ts)
+    np.testing.assert_allclose(ours, ref, atol=1e-9)
+    # count larger than window uses the last W poses
+    poses2 = _traj_const_vel([1.0, 0.0, 0.0, 0.0, 0.0, 0.1], W + 5, ts)
+    traj2 = np.stack(poses2[-W:])
+    ours2 = np.asarray(
+        estimate_velocity(
+            jnp.asarray(v0), jnp.asarray(traj2), jnp.asarray(W + 5), ts
+        )
+    )
+    ref2 = oracle.vel_one_round(v0, poses2[-W:], ts)
+    np.testing.assert_allclose(ours2, ref2, atol=1e-9)
+
+
+def test_vel_estimator_single_pose_noop():
+    est = VelEstimator(sensor_hz=10.0)
+    est.init(np.array([1.0, 0, 0, 0, 0, 0]))
+    est.set_odometry([np.eye(4)])
+    out = est.one_round()
+    np.testing.assert_allclose(out, [1.0, 0, 0, 0, 0, 0])
+
+
+def test_deskew_constant_velocity(rng):
+    # A sensor spinning clockwise from +pi to -pi while translating with
+    # constant velocity: deskewing must move early points (azimuth ~ +pi)
+    # by ~ -v*ts and leave late points (~ -pi) nearly unchanged.
+    ts = 0.1
+    v = np.array([2.0, 0.0, 0.0])
+    n = 4096
+    az = np.linspace(np.pi - 1e-3, -np.pi + 1e-3, n)
+    r = 10.0
+    pts = np.column_stack([r * np.cos(az), r * np.sin(az), np.zeros(n)])
+
+    T_prev = np.eye(4)
+    T_now = np.eye(4)
+    T_now[:3, 3] = v * ts
+
+    out = np.asarray(
+        deskew_cloud(jnp.asarray(pts), jnp.asarray(T_prev), jnp.asarray(T_now), 1.0 / ts)
+    )
+    shift = out - pts
+    np.testing.assert_allclose(shift[0], -v * ts, atol=1e-3)
+    np.testing.assert_allclose(shift[-1], 0.0, atol=1e-3)
+    # monotone time ramp along the sweep
+    assert np.all(np.diff(shift[:, 0]) >= -1e-9)
+
+
+def test_deskew_identity_when_static():
+    pts = np.random.default_rng(0).normal(size=(256, 3))
+    out = np.asarray(
+        deskew_cloud(jnp.asarray(pts), jnp.eye(4), jnp.eye(4), 10.0)
+    )
+    np.testing.assert_allclose(out, pts, atol=1e-12)
+
+
+def test_deskew_rotation(rng):
+    # pure yaw rotation: deskewed points rotated by exp(w * t_bin)
+    ts = 0.1
+    w = np.array([0.0, 0.0, 0.5])
+    T_prev = np.eye(4)
+    T_now = np.eye(4)
+    T_now[:3, :3] = oracle.exp_so3(w * ts)
+    pts = np.array([[10.0, 0.01, 0.0]])  # azimuth ~ 0 -> middle of sweep
+    out = np.asarray(
+        deskew_cloud(jnp.asarray(pts), jnp.asarray(T_prev), jnp.asarray(T_now), 1.0 / ts)
+    )
+    t_expect = -ts / 2
+    R = oracle.exp_so3(w * t_expect)
+    np.testing.assert_allclose(out[0], R @ pts[0], atol=2e-3)
