@@ -307,9 +307,12 @@ def search_tree(tree: SearchTree, queries: jnp.ndarray, depth: Optional[int] = N
         mean = jnp.take(tree.mean, node, axis=0)
         split = jnp.take(tree.split, node, axis=0)
         left = jnp.sum((queries - mean) * split, -1) < 0
-        child = 2 * node + jnp.where(left, 0, 1)
-        ok = jnp.take(tree.is_real, jnp.minimum(child, tree.is_real.shape[0] - 1))
-        return jnp.where(leaf | ~ok, node, child)
+        child = 2 * node + jnp.where(left, jnp.int32(0), jnp.int32(1))
+        ok = jnp.take(
+            tree.is_real,
+            jnp.minimum(child, jnp.int32(tree.is_real.shape[-1] - 1)),
+        )
+        return jnp.where(leaf | ~ok, node, child).astype(jnp.int32)
 
     return jax.lax.fori_loop(0, depth, body, node0)
 

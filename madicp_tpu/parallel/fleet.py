@@ -1,0 +1,90 @@
+"""Fleet mode: many sequences evaluated data-parallel across the mesh.
+
+The reference processes one sequence per process with no distributed
+capability (SURVEY.md §2 P4). Here a fleet holds one pipeline state per
+sequence, stacked on a leading batch axis sharded over the ``seq`` mesh
+axis; each step advances every sequence with zero inter-sequence
+communication (DCN is only touched at dispatch/result time).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from madicp_tpu.models.pipeline import (
+    PipelineConfig,
+    init_state,
+    pipeline_step,
+)
+
+
+class Fleet:
+    """Batched odometry over ``n_seq`` independent sequences."""
+
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        n_seq: int,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.cfg = cfg
+        self.n_seq = n_seq
+        self.mesh = mesh
+
+        states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(n_seq))
+        batched_step = jax.vmap(partial(pipeline_step, cfg))
+
+        if mesh is not None:
+            if "seq" not in mesh.axis_names:
+                raise ValueError("fleet mesh needs a 'seq' axis")
+            from madicp_tpu.parallel.mesh import state_shardings
+
+            proto = jax.eval_shape(lambda: init_state(cfg))
+            st_shard = state_shardings(mesh, proto, batched=True)
+            seq_s = NamedSharding(mesh, P("seq"))
+            out_rep = jax.tree.map(
+                lambda _: seq_s,
+                jax.eval_shape(
+                    lambda s: pipeline_step(
+                        cfg,
+                        s,
+                        jnp.zeros((cfg.n_points, 3), cfg.dtype),
+                        jnp.zeros(cfg.n_points, bool),
+                        jnp.zeros((), cfg.dtype),
+                    )[1],
+                    proto,
+                ),
+            )
+            self._step = jax.jit(
+                batched_step,
+                in_shardings=(st_shard, seq_s, seq_s, seq_s),
+                out_shardings=(st_shard, out_rep),
+            )
+            self.states = jax.device_put(states, st_shard)
+        else:
+            self._step = jax.jit(batched_step)
+            self.states = states
+
+    def compute(self, stamps, points, valid):
+        """Advance all sequences by one scan.
+
+        Args:
+            stamps: (B,) timestamps.
+            points: (B, N, 3) padded clouds.
+            valid:  (B, N) masks.
+        Returns the batched StepOutput.
+        """
+        points = jnp.asarray(points, self.cfg.dtype)
+        valid = jnp.asarray(valid)
+        stamps = jnp.asarray(stamps, self.cfg.dtype)
+        self.states, out = self._step(self.states, points, valid, stamps)
+        return out
+
+    def poses(self) -> np.ndarray:
+        return np.asarray(self.states.X)

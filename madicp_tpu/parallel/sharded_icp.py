@@ -1,0 +1,100 @@
+"""Keyframe-sharded ICP: explicit ``shard_map`` + ``psum`` over ICI.
+
+This is the TPU-native replacement of the reference's OpenMP keyframe loop
+(``pipeline.cpp:180-185``): every chip owns ``K/n_kf`` keyframe trees,
+computes its partial normal equations with the same fused batched kernel
+as the single-chip path, and a single ``psum`` of (6x6 + 6) floats per GN
+round reduces them over the ``kf`` mesh axis — a trivially cheap collective
+that lets the local-map size grow with the pod.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from madicp_tpu.models.pipeline import (
+    PipelineConfig,
+    PipelineState,
+    pipeline_step,
+)
+from madicp_tpu.ops.icp_core import icp_terms
+from madicp_tpu.ops.tree import SearchTree
+
+
+def icp_round_sharded(
+    mesh: Mesh,
+    kf_tree: SearchTree,
+    kf_valid: jnp.ndarray,
+    leaves_pts: jnp.ndarray,
+    leaves_valid: jnp.ndarray,
+    X: jnp.ndarray,
+    *,
+    b_max,
+    b_ratio,
+    rho_ker,
+):
+    """One association+accumulation round with the keyframe axis sharded.
+
+    Returns globally-reduced ``(H, b, matched)``; ``matched`` is the any-
+    keyframe match mask of the moving leaves (an OR-reduction over ``kf``).
+    """
+
+    def local(kf_tree, kf_valid, leaves_pts, leaves_valid, X):
+        dtype = leaves_pts.dtype
+        terms = jax.vmap(
+            lambda t: icp_terms(
+                t, leaves_pts, leaves_valid, X,
+                b_max=b_max, b_ratio=b_ratio, rho_ker=rho_ker,
+            )
+        )(kf_tree)
+        w = kf_valid.astype(dtype)
+        H = jnp.einsum("kij,k->ij", terms.H, w)
+        b = jnp.einsum("ki,k->i", terms.b, w)
+        matched = jnp.any(terms.matched & kf_valid[:, None], axis=0)
+        H = jax.lax.psum(H, "kf")
+        b = jax.lax.psum(b, "kf")
+        matched = jax.lax.psum(matched.astype(jnp.int32), "kf") > 0
+        return H, b, matched
+
+    kf_spec = jax.tree.map(lambda _: P("kf"), kf_tree)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(kf_spec, P("kf"), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        # the descent loop carry starts replicated and becomes kf-varying;
+        # skip the static vma check (equivalence is covered by tests)
+        check_vma=False,
+    )(kf_tree, kf_valid, leaves_pts, leaves_valid, X)
+
+
+def make_sharded_pipeline_step(cfg: PipelineConfig, mesh: Mesh):
+    """Jit the full pipeline step with the keyframe map sharded over ``kf``.
+
+    The step body is the standard single-chip program; GSPMD partitions the
+    vmap-over-keyframes automatically given the state sharding constraints
+    (the einsum over the K axis lowers to a psum over ICI). Use
+    :func:`icp_round_sharded` when explicit collective placement is needed.
+    """
+    from madicp_tpu.parallel.mesh import state_shardings
+    from madicp_tpu.models.pipeline import init_state
+
+    proto = jax.eval_shape(lambda: init_state(cfg))
+    shardings = state_shardings(mesh, proto)
+    rep = NamedSharding(mesh, P())
+
+    step = jax.jit(
+        partial(pipeline_step, cfg),
+        in_shardings=(shardings, rep, rep, rep),
+        out_shardings=(shardings, rep),
+    )
+
+    def place_state(state: PipelineState) -> PipelineState:
+        return jax.device_put(state, shardings)
+
+    return step, place_state

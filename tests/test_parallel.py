@@ -1,0 +1,135 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from madicp_tpu.models.pipeline import (
+    Pipeline,
+    PipelineConfig,
+    init_state,
+    pipeline_step,
+)
+from madicp_tpu.parallel import (
+    Fleet,
+    icp_round_sharded,
+    make_mesh,
+    make_sharded_pipeline_step,
+)
+from madicp_tpu.ops.tree import build_tree
+from madicp_tpu.ops.icp_core import icp_terms
+from tests_fixtures_helper import synthetic_room_scans
+
+
+CFG = PipelineConfig(
+    sensor_hz=10.0,
+    num_keyframes=4,
+    n_points=2048,
+    depth=11,
+    dtype=jnp.float64,
+)
+
+
+def _pad(scan, n):
+    pts = np.zeros((n, 3))
+    pts[: len(scan)] = scan[:n]
+    valid = np.zeros(n, bool)
+    valid[: len(scan)] = True
+    return jnp.asarray(pts), jnp.asarray(valid)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_icp_round_sharded_matches_local(rng, four_walls):
+    mesh = make_mesh(kf=4, seq=1)
+    pts, valid = _pad(four_walls, 8192)
+    tree, _ = build_tree(pts, valid, depth=13, b_max=0.2, b_min=0.1)
+    kf_tree = jax.tree.map(lambda a: jnp.stack([a] * 4), tree)
+    kf_valid = jnp.array([True, True, True, False])
+    q = jnp.asarray(four_walls[:256] + rng.normal(size=(256, 3)) * 0.01)
+    qv = jnp.ones(256, bool)
+    X = jnp.eye(4)
+
+    H_s, b_s, m_s = icp_round_sharded(
+        mesh, kf_tree, kf_valid, q, qv, X, b_max=0.2, b_ratio=0.02, rho_ker=0.1
+    )
+
+    terms = jax.vmap(
+        lambda t: icp_terms(t, q, qv, X, b_max=0.2, b_ratio=0.02, rho_ker=0.1)
+    )(kf_tree)
+    w = kf_valid.astype(q.dtype)
+    H_l = jnp.einsum("kij,k->ij", terms.H, w)
+    b_l = jnp.einsum("ki,k->i", terms.b, w)
+    m_l = jnp.any(terms.matched & kf_valid[:, None], axis=0)
+
+    np.testing.assert_allclose(np.asarray(H_s), np.asarray(H_l), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(b_s), np.asarray(b_l), rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(m_s), np.asarray(m_l))
+
+
+def test_sharded_pipeline_matches_unsharded(rng):
+    scans, _ = synthetic_room_scans(rng, n_scans=4, n_points=1200, step=0.05)
+    mesh = make_mesh(kf=4, seq=2)
+
+    step_s, place = make_sharded_pipeline_step(CFG, mesh)
+    state_s = place(init_state(CFG))
+    state_u = init_state(CFG)
+
+    for i, scan in enumerate(scans):
+        pts, valid = _pad(scan, CFG.n_points)
+        stamp = jnp.asarray(float(i), CFG.dtype)
+        state_s, out_s = step_s(state_s, pts, valid, stamp)
+        state_u, out_u = pipeline_step(CFG, state_u, pts, valid, stamp)
+        np.testing.assert_allclose(
+            np.asarray(out_s.pose), np.asarray(out_u.pose), atol=1e-9
+        )
+        assert bool(out_s.map_updated) == bool(out_u.map_updated)
+    np.testing.assert_allclose(
+        np.asarray(state_s.X), np.asarray(state_u.X), atol=1e-9
+    )
+
+
+def test_fleet_matches_sequential(rng):
+    n_seq = 4
+    all_scans = []
+    for _ in range(n_seq):
+        scans, _ = synthetic_room_scans(rng, n_scans=3, n_points=900, step=0.05)
+        all_scans.append(scans)
+
+    mesh = make_mesh(kf=2, seq=4)
+    fleet = Fleet(CFG, n_seq, mesh=mesh)
+
+    seq_pipes = [init_state(CFG) for _ in range(n_seq)]
+    for step_i in range(3):
+        pts_b, val_b = zip(
+            *[_pad(all_scans[s][step_i], CFG.n_points) for s in range(n_seq)]
+        )
+        out = fleet.compute(
+            np.arange(n_seq, dtype=float),
+            jnp.stack(pts_b),
+            jnp.stack(val_b),
+        )
+        for s in range(n_seq):
+            seq_pipes[s], out_u = pipeline_step(
+                CFG,
+                seq_pipes[s],
+                pts_b[s],
+                val_b[s],
+                jnp.asarray(float(s), CFG.dtype),
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.pose[s]), np.asarray(out_u.pose), atol=1e-9
+            )
+    np.testing.assert_allclose(
+        fleet.poses(), np.stack([np.asarray(s.X) for s in seq_pipes]), atol=1e-9
+    )
+
+
+def test_fleet_without_mesh(rng):
+    scans, _ = synthetic_room_scans(rng, n_scans=2, n_points=600, step=0.05)
+    fleet = Fleet(CFG, 2)
+    pts, valid = _pad(scans[0], CFG.n_points)
+    out = fleet.compute(
+        np.zeros(2), jnp.stack([pts, pts]), jnp.stack([valid, valid])
+    )
+    assert out.pose.shape == (2, 4, 4)
