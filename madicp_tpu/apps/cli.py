@@ -1,0 +1,173 @@
+"""Odometry CLI.
+
+Option and behavior parity with the reference Typer app
+(``apps/mad_icp.py:71-216``): dataset-format sniffing by file extension,
+config resolution by preset name or YAML path, per-stage timing prints,
+KITTI-format pose output appended to ``estimate.txt``. Typer is not part
+of this image, so the interface is argparse with the same option names.
+
+Usage:
+    python -m madicp_tpu --data-path DIR --estimate-path DIR \
+        --dataset-config kitti [--mad-icp-params default] [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mad_icp_tpu", description="TPU-native MAD-ICP LiDAR odometry"
+    )
+    p.add_argument("--data-path", type=Path, required=True,
+                   help="directory with .bin files or rosbags")
+    p.add_argument("--estimate-path", type=Path, required=True,
+                   help="trajectory estimate output directory")
+    p.add_argument("--dataset-config", type=str, required=True,
+                   help="dataset preset name or YAML path")
+    p.add_argument("--mad-icp-params", type=str, default="default",
+                   help="solver preset name or YAML path")
+    p.add_argument("--num-cores", type=int, default=4,
+                   help="accepted for reference-CLI parity; unused on TPU")
+    p.add_argument("--num-keyframes", type=int, default=4,
+                   help="max keyframes kept in the local map")
+    p.add_argument("--realtime", action="store_true",
+                   help="anytime realtime (measured, not enforced)")
+    p.add_argument("--noviz", action="store_true", help="disable visualizer")
+    p.add_argument("--n-points", type=int, default=131072,
+                   help="static padded cloud size")
+    p.add_argument("--depth", type=int, default=16, help="static tree depth")
+    p.add_argument("--max-leaves", type=int, default=0,
+                   help="moving-leaf capacity (0 = n_points)")
+    p.add_argument("--max-scans", type=int, default=0,
+                   help="stop after this many scans (0 = all)")
+    return p
+
+
+def sniff_format(data_path: Path) -> str:
+    """Dataset-format sniffing (reference ``apps/mad_icp.py:99-111``)."""
+    if list(data_path.glob("*.bag")):
+        return "ros1"
+    if list(data_path.glob("*.db3")):
+        return "ros2"
+    if list(data_path.glob("*.mcap")):
+        return "mcap"
+    return "kitti"
+
+
+def make_reader(fmt: str, data_path: Path, data_cf):
+    from madicp_tpu.utils.kitti import KittiReader
+    if fmt == "kitti":
+        return KittiReader(
+            data_path,
+            data_cf.min_range,
+            data_cf.max_range,
+            apply_correction=data_cf.apply_correction,
+            sensor_hz=data_cf.sensor_hz,
+        )
+    from madicp_tpu.utils.rosbag import McapReader, Ros1Reader, Ros2Reader
+    cls = {"ros1": Ros1Reader, "ros2": Ros2Reader, "mcap": McapReader}[fmt]
+    return cls(
+        data_path,
+        data_cf.min_range,
+        data_cf.max_range,
+        topic=data_cf.rosbag_topic,
+        sensor_hz=data_cf.sensor_hz,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if not args.data_path.exists():
+        print(f"error: {args.data_path} does not exist", file=sys.stderr)
+        return -1
+    args.estimate_path.mkdir(parents=True, exist_ok=True)
+
+    from madicp_tpu.utils.config import load_dataset_config, load_mad_params
+    from madicp_tpu.utils.trajectory import write_transformed_pose
+    from madicp_tpu.models.pipeline import Pipeline
+
+    fmt = sniff_format(args.data_path)
+    print(f"dataset format: {fmt}")
+    data_cf = load_dataset_config(args.dataset_config)
+    mad_cf = load_mad_params(args.mad_icp_params)
+
+    pipeline = Pipeline(
+        sensor_hz=data_cf.sensor_hz,
+        deskew=data_cf.deskew,
+        b_max=mad_cf.b_max,
+        rho_ker=mad_cf.rho_ker,
+        p_th=mad_cf.p_th,
+        b_min=mad_cf.b_min,
+        b_ratio=mad_cf.b_ratio,
+        num_keyframes=args.num_keyframes,
+        realtime=args.realtime,
+        n_points=args.n_points,
+        depth=args.depth,
+        max_leaves=args.max_leaves,
+    )
+
+    visualizer = None
+    if not args.noviz:
+        from madicp_tpu.utils.visualizer import Visualizer
+
+        visualizer = Visualizer()
+
+    estimate_file = open(args.estimate_path / "estimate.txt", "w")
+    lidar_to_base = data_cf.extrinsics
+
+    reader = make_reader(fmt, args.data_path, data_cf)
+    n_scans = 0
+    budget_ms = 1000.0 / data_cf.sensor_hz
+    with reader:
+        t_read = time.perf_counter()
+        for ts, points in reader:
+            read_ms = (time.perf_counter() - t_read) * 1000
+
+            t0 = time.perf_counter()
+            pipeline.compute(ts, points)
+            lidar_to_world = pipeline.current_pose()
+            odom_ms = (time.perf_counter() - t0) * 1000
+
+            write_transformed_pose(estimate_file, lidar_to_world, lidar_to_base)
+            print(
+                f"scan {pipeline.current_id():6d}  read {read_ms:7.2f} ms  "
+                f"odometry {odom_ms:7.2f} ms  "
+                f"(budget {budget_ms:.0f} ms)  "
+                f"inliers {pipeline.inlier_ratio():.2f}"
+            )
+
+            if visualizer is not None:
+                if pipeline.is_map_updated():
+                    visualizer.update(
+                        pipeline.current_leaves(),
+                        pipeline.model_leaves(),
+                        lidar_to_world,
+                        pipeline.keyframe_pose(),
+                    )
+                else:
+                    visualizer.update(
+                        pipeline.current_leaves(), None, lidar_to_world, None
+                    )
+
+            n_scans += 1
+            if args.max_scans and n_scans >= args.max_scans:
+                break
+            t_read = time.perf_counter()
+
+    estimate_file.close()
+    print(f"wrote {n_scans} poses to {args.estimate_path / 'estimate.txt'}")
+    return 0
+
+
+def run() -> None:
+    raise SystemExit(main())
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,69 @@
+import numpy as np
+
+from madicp_tpu.apps.cli import main as cli_main, sniff_format
+from madicp_tpu.utils.trajectory import load_kitti_poses
+from tests_fixtures_helper import synthetic_room_scans
+
+
+def test_sniff_format(tmp_path):
+    assert sniff_format(tmp_path) == "kitti"
+    (tmp_path / "a.bag").touch()
+    assert sniff_format(tmp_path) == "ros1"
+    (tmp_path / "a.bag").unlink()
+    (tmp_path / "a.db3").touch()
+    assert sniff_format(tmp_path) == "ros2"
+    (tmp_path / "a.db3").unlink()
+    (tmp_path / "a.mcap").touch()
+    assert sniff_format(tmp_path) == "mcap"
+
+
+def test_cli_end_to_end(tmp_path, rng):
+    # synthetic KITTI-format sequence through the full CLI
+    data = tmp_path / "data"
+    out = tmp_path / "out"
+    data.mkdir()
+    scans, _ = synthetic_room_scans(rng, n_scans=3, n_points=1000, step=0.05)
+    for i, s in enumerate(scans):
+        arr = np.zeros((len(s), 4), np.float32)
+        arr[:, :3] = s
+        arr.tofile(data / f"{i:06d}.bin")
+    # config file accepted by path (vbr_os0 = identity extrinsics, no corr)
+    from madicp_tpu.utils.config import DATASET_CONFIGS, dump_yaml
+
+    cfg = tmp_path / "ds.cfg"
+    dump_yaml(DATASET_CONFIGS["vbr_os0"], cfg)
+
+    rc = cli_main(
+        [
+            "--data-path", str(data),
+            "--estimate-path", str(out),
+            "--dataset-config", str(cfg),
+            "--noviz",
+            "--n-points", "2048",
+            "--depth", "11",
+        ]
+    )
+    assert rc == 0
+    poses = load_kitti_poses(out / "estimate.txt")
+    assert poses.shape == (3, 4, 4)
+    np.testing.assert_allclose(poses[0], np.eye(4), atol=1e-12)
+    assert np.isfinite(poses).all()
+    # sensor moved: later poses differ from identity
+    assert np.linalg.norm(poses[2][:3, 3]) > 0.01
+
+
+def test_nn_search_demo_zero_error():
+    from madicp_tpu.apps.nn_search import main
+
+    # exact zero in f64; the default-f32 demo only accumulates
+    # representation rounding (~1e-7 per point)
+    err = main(points_per_wall=200, seed=42)
+    assert err < 1e-3
+
+
+def test_mad_registration_demo():
+    from madicp_tpu.apps.mad_registration import main
+
+    # the reference demo configuration: 1000 points per wall, seed 42
+    T = main(points_per_wall=1000, seed=42)
+    np.testing.assert_allclose(T, np.eye(4), atol=5e-3)
