@@ -1,0 +1,127 @@
+"""Headline benchmark: full-pipeline odometry throughput on one TPU chip.
+
+Runs the flagship configuration — KITTI-scale padded scans (131072 points),
+``num_keyframes=16`` (the reference's paper/demo config, README.md:41),
+all 15 re-association GN rounds per scan (no early exit) — on synthetic
+KITTI-like geometry, and reports steady-state scans/sec.
+
+Baseline note: this image cannot build or run the reference (no Eigen /
+pybind11, single-core host), and the repository pins no published numbers
+(BASELINE.md). The only throughput requirement the reference itself encodes
+is the anytime-realtime budget: the sensor rate, 10 scans/sec at 10 Hz with
+the full 15-iteration budget (``pipeline.cpp:62,167``). ``vs_baseline``
+is therefore scans/sec relative to that 10 Hz realtime requirement.
+
+Prints exactly one JSON line:
+    {"metric": "odometry_scans_per_sec", "value": N, "unit": "scans/s",
+     "vs_baseline": N/10}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def synthetic_kitti_scan(rng, n_points=120000):
+    """KITTI-ish geometry: ground plane + building walls + poles, sampled
+    in the sensor frame with realistic ranges."""
+    n_ground = n_points // 2
+    n_walls = n_points // 3
+    n_rest = n_points - n_ground - n_walls
+
+    r = rng.uniform(2.0, 60.0, n_ground)
+    th = rng.uniform(-np.pi, np.pi, n_ground)
+    ground = np.column_stack(
+        [r * np.cos(th), r * np.sin(th), -1.7 + rng.normal(0, 0.02, n_ground)]
+    )
+
+    walls = []
+    for i in range(8):
+        d = 8.0 + 6.0 * i
+        side = 1 if i % 2 == 0 else -1
+        x = rng.uniform(-40, 40, n_walls // 8)
+        z = rng.uniform(-1.5, 3.0, n_walls // 8)
+        y = side * d + rng.normal(0, 0.01, n_walls // 8)
+        walls.append(np.column_stack([x, y, z]))
+    walls = np.vstack(walls)[:n_walls]
+
+    px = rng.uniform(-30, 30, n_rest)
+    py = rng.uniform(-30, 30, n_rest)
+    pz = rng.uniform(-1.5, 2.0, n_rest)
+    rest = np.column_stack([px, py, pz])
+    return np.vstack([ground, walls, rest])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from madicp_tpu.models.pipeline import Pipeline
+
+    n_points = int(os.environ.get("BENCH_N_POINTS", 131072))
+    num_keyframes = int(os.environ.get("BENCH_KEYFRAMES", 16))
+    depth = int(os.environ.get("BENCH_DEPTH", 16))
+    max_leaves = int(os.environ.get("BENCH_MAX_LEAVES", 32768))
+    n_warmup = int(os.environ.get("BENCH_WARMUP", 4))
+    n_steps = int(os.environ.get("BENCH_STEPS", 12))
+
+    pipe = Pipeline(
+        sensor_hz=10.0,
+        deskew=False,
+        b_max=0.2,
+        rho_ker=0.1,
+        p_th=0.8,
+        b_min=0.1,
+        b_ratio=0.02,
+        num_keyframes=num_keyframes,
+        n_points=n_points,
+        depth=depth,
+        max_leaves=max_leaves,
+        dtype=jnp.float32,
+    )
+
+    rng = np.random.default_rng(0)
+    world = synthetic_kitti_scan(rng, n_points=min(120000, n_points))
+
+    def scan_at(i):
+        # sensor advancing 1.4 m/scan with mild yaw — re-sampled view of
+        # the same world so consecutive scans overlap like real data
+        t = np.array([1.4 * i, 0.05 * i, 0.0])
+        yaw = 0.004 * i
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        local = (world - t) @ R
+        jitter = rng.normal(0, 0.008, local.shape)
+        return (local + jitter).astype(np.float32)
+
+    # warmup: first scan initialises, second compiles the full step
+    for i in range(n_warmup):
+        pipe.compute(0.1 * i, scan_at(i))
+    jax.block_until_ready(pipe.state.X)
+
+    t0 = time.perf_counter()
+    for i in range(n_warmup, n_warmup + n_steps):
+        pipe.compute(0.1 * i, scan_at(i))
+    jax.block_until_ready(pipe.state.X)
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = n_steps / dt
+    realtime_budget_hz = 10.0  # reference anytime-realtime sensor rate
+    print(
+        json.dumps(
+            {
+                "metric": "odometry_scans_per_sec",
+                "value": round(scans_per_sec, 3),
+                "unit": "scans/s",
+                "vs_baseline": round(scans_per_sec / realtime_budget_hz, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
