@@ -5,6 +5,15 @@ Runs the flagship configuration — KITTI-scale padded scans (131072 points),
 all 15 re-association GN rounds per scan (no early exit) — on synthetic
 KITTI-like geometry, and reports steady-state scans/sec.
 
+Steady state is enforced: the keyframe ring is prefilled with 16 real
+keyframe trees built from staggered viewpoints before timing starts, so the
+measured step does the full 16-keyframe association work every round
+(an empty ring slot costs almost nothing and would inflate the number).
+
+Synchronization note: measurements bracket with a device->host transfer
+(``jax.device_get``) rather than ``block_until_ready`` — on the axon
+remote-TPU platform the latter can return before the queue drains.
+
 Baseline note: this image cannot build or run the reference (no Eigen /
 pybind11, single-core host), and the repository pins no published numbers
 (BASELINE.md). The only throughput requirement the reference itself encodes
@@ -61,12 +70,13 @@ def main():
     import jax.numpy as jnp
 
     from madicp_tpu.models.pipeline import Pipeline
+    from madicp_tpu.ops.tree import build_tree, transform_tree
 
     n_points = int(os.environ.get("BENCH_N_POINTS", 131072))
     num_keyframes = int(os.environ.get("BENCH_KEYFRAMES", 16))
     depth = int(os.environ.get("BENCH_DEPTH", 16))
     max_leaves = int(os.environ.get("BENCH_MAX_LEAVES", 32768))
-    n_warmup = int(os.environ.get("BENCH_WARMUP", 4))
+    n_warmup = int(os.environ.get("BENCH_WARMUP", 3))
     n_steps = int(os.environ.get("BENCH_STEPS", 12))
 
     pipe = Pipeline(
@@ -98,15 +108,45 @@ def main():
         jitter = rng.normal(0, 0.008, local.shape)
         return (local + jitter).astype(np.float32)
 
-    # warmup: first scan initialises, second compiles the full step
-    for i in range(n_warmup):
+    def pad(points):
+        pts = np.zeros((n_points, 3), np.float32)
+        pts[: len(points)] = points[:n_points]
+        v = np.zeros(n_points, bool)
+        v[: len(points)] = True
+        return jnp.asarray(pts), jnp.asarray(v)
+
+    # ---- steady state: prefill the keyframe ring with 16 real trees ----
+    build = jax.jit(
+        lambda p, v: build_tree(
+            p, v, depth=depth, b_max=pipe.cfg.b_max, b_min=pipe.cfg.b_min
+        )[0]
+    )
+    kf_trees = []
+    for k in range(num_keyframes):
+        t = np.array([1.4 * (k - num_keyframes), 0.05 * (k - num_keyframes), 0.0])
+        yaw = 0.004 * (k - num_keyframes)
+        cs, sn = np.cos(yaw), np.sin(yaw)
+        Rk = jnp.asarray(
+            np.array([[cs, -sn, 0], [sn, cs, 0], [0, 0, 1.0]], np.float32)
+        )
+        tree = build(*pad(scan_at(k - num_keyframes)))
+        kf_trees.append(transform_tree(tree, Rk, jnp.asarray(t, jnp.float32)))
+    kf_stacked = jax.tree.map(lambda *a: jnp.stack(a), *kf_trees)
+    pipe.compute(0.0, scan_at(0))  # initialise
+    pipe.state = pipe.state._replace(
+        kf_tree=kf_stacked,
+        kf_valid=jnp.ones(num_keyframes, bool),
+    )
+
+    # warmup: compile the full step and drain the queue
+    for i in range(1, 1 + n_warmup):
         pipe.compute(0.1 * i, scan_at(i))
-    jax.block_until_ready(pipe.state.X)
+    _ = jax.device_get(pipe.state.X)  # hard sync
 
     t0 = time.perf_counter()
-    for i in range(n_warmup, n_warmup + n_steps):
+    for i in range(1 + n_warmup, 1 + n_warmup + n_steps):
         pipe.compute(0.1 * i, scan_at(i))
-    jax.block_until_ready(pipe.state.X)
+    _ = jax.device_get(pipe.state.X)  # hard sync
     dt = time.perf_counter() - t0
 
     scans_per_sec = n_steps / dt

@@ -111,11 +111,10 @@ class StepOutput(NamedTuple):
 
 def _empty_tree(cfg: PipelineConfig, lead: tuple = ()) -> SearchTree:
     M = cfg.arena
-    z3 = jnp.zeros(lead + (M, 3), cfg.dtype)
-    z1 = jnp.zeros(lead + (M,), cfg.dtype)
-    zb = jnp.zeros(lead + (M,), bool)
-    return SearchTree(mean=z3, split=z3, normal=z3, repr=z3, bbox0=z1,
-                      is_leaf=zb, is_real=zb)
+    return SearchTree(
+        nav=jnp.zeros(lead + (M, 64), cfg.dtype),
+        surfel=jnp.zeros(lead + (M, 8), cfg.dtype),
+    )
 
 
 def init_state(cfg: PipelineConfig) -> PipelineState:
@@ -201,13 +200,22 @@ def odometry_step(
     X0 = state.X @ exp_se3_split(state.velocity / hz)
 
     # ---- ICP rounds over the keyframe map (pipeline.cpp:166-193) ----
+    # Keyframes are processed with a sequential lax.scan rather than a
+    # vmap: the descent gathers then hit one keyframe's ~34 MB node table
+    # at a time instead of interleaving across the whole ring, which
+    # measures ~4x faster on v5e (HBM gather cost grows with the working
+    # set). The reduction over keyframes is the OpenMP-adder analog
+    # (mad_icp.cpp:100-110); under kf-sharding each device scans its local
+    # keyframes and a psum completes the sum (parallel/sharded_icp.py).
     kf_valid_f = state.kf_valid.astype(dtype)
 
     def one_round(_, carry):
         X, _, _ = carry
-        terms = jax.vmap(
-            lambda t: icp_terms(
-                t,
+
+        def per_kf(acc, kf):
+            tree_fields, v = kf
+            terms = icp_terms(
+                SearchTree(*tree_fields),
                 leaves.pts,
                 leaves.valid,
                 X,
@@ -215,10 +223,21 @@ def odometry_step(
                 b_ratio=cfg.b_ratio,
                 rho_ker=cfg.rho_ker,
             )
-        )(state.kf_tree)
-        H = jnp.einsum("kij,k->ij", terms.H, kf_valid_f)
-        b = jnp.einsum("ki,k->i", terms.b, kf_valid_f)
-        matched = jnp.any(terms.matched & state.kf_valid[:, None], axis=0)
+            H, b, matched = acc
+            return (
+                H + terms.H * v,
+                b + terms.b * v,
+                matched | (terms.matched & (v > 0)),
+            ), None
+
+        acc0 = (
+            jnp.zeros((6, 6), dtype),
+            jnp.zeros((6,), dtype),
+            jnp.zeros(cfg.leaves_cap, bool),
+        )
+        (H, b, matched), _ = jax.lax.scan(
+            per_kf, acc0, (tuple(state.kf_tree), kf_valid_f)
+        )
         return gn_se3_step(X, H, b), matched, H
 
     carry0 = (

@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from madicp_tpu.ops.lie import exp_se3_split
-from madicp_tpu.ops.tree import SearchTree, search_tree
+from madicp_tpu.ops.tree import SearchTree, search_payload, search_tree
 
 
 class IcpTerms(NamedTuple):
@@ -63,10 +63,7 @@ def icp_terms(
 
     ml = moving_pts @ R.T + t
     leaf = search_tree(fixed_tree, ml)
-    f_pt = jnp.take(fixed_tree.repr, leaf, axis=0)
-    f_n = jnp.take(fixed_tree.normal, leaf, axis=0)
-    f_bbox0 = jnp.take(fixed_tree.bbox0, leaf)
-    f_ok = jnp.take(fixed_tree.is_leaf & fixed_tree.is_real, leaf)
+    f_pt, f_n, f_bbox0, f_ok = search_payload(fixed_tree, leaf)
 
     # adaptive-radius gate (radius grows with point range)
     diff = ml - f_pt

@@ -12,6 +12,21 @@ plane-predecessor/normal inheritance, representative point and split — for
 all nodes of the level at once. Parallelism is the vector lanes; no task
 forking, no pointers, no dynamic shapes.
 
+Storage is gather-optimised for the search/ICP hot loop. TPU HBM gathers
+cost ~5 ns *per row* independent of row width up to 256 bytes (measured on
+v5e), so the tree is stored as:
+
+- ``nav``  (M, 64): per node, the packed 8-float descent blocks
+  ``[mean(3), split(3), kids, flags]`` of its **depth-2 subtree** — itself,
+  both children and all four grandchildren (7 blocks + padding). One
+  gather therefore advances a query THREE levels, cutting the number of
+  random-access rows per descent by ~10x versus per-field gathers.
+- ``surfel`` (M, 8): per node, the leaf payload
+  ``[repr(3), normal(3), bbox0, ok]`` gathered once at the end of descent.
+
+``kids`` encodes child existence (left + 2*right); ``flags`` encodes
+``is_leaf + 2*is_real``.
+
 Algorithmic contracts reproduced from the reference (see SURVEY.md §2.1):
 - leaf criterion: largest oriented extent ``bbox[2] < b_max``
   (``mad_tree.cpp:64``), plus a forced leaf at the static depth cap;
@@ -19,7 +34,8 @@ Algorithmic contracts reproduced from the reference (see SURVEY.md §2.1):
   b_min`` — its PCA normal is inherited by all descendant leaves
   (``mad_tree.cpp:65-67, 90-93``);
 - leaves with fewer than 3 points inherit the normal of the nearest
-  ancestor with >= 3 points (``mad_tree.cpp:68-73``);
+  ancestor with >= 3 points (``mad_tree.cpp:68-73``), tracked here as an
+  incremental per-node field (``n3``) instead of an upward pointer walk;
 - the leaf representative is the input point nearest to the node mean,
   not the mean itself (``mad_tree.cpp:76-86``);
 - bounding boxes measure extents in the eigenbasis including the origin
@@ -40,28 +56,53 @@ import jax
 import jax.numpy as jnp
 
 from madicp_tpu.ops.eigh3 import eigh3
-from madicp_tpu.ops import segscan as ss
 
 
 class SearchTree(NamedTuple):
-    """Heap-indexed arena form of a built MAD-tree.
+    """Packed arena form of a built MAD-tree.
 
-    All arrays have leading dimension ``M = 2 ** (depth + 1)``; index 0 is
+    Both arrays have node dimension ``M = 2 ** (depth + 1)``; index 0 is
     unused, the root is index 1, children of ``i`` live at ``2i``/``2i+1``.
-    Missing children simply have ``is_real == False``.
+    ``nav[n]`` holds the descent blocks of n's depth-2 subtree
+    (see module docstring); ``surfel[n]`` the leaf payload.
     """
 
-    mean: jnp.ndarray      # (M, 3) PCA mean — the descent anchor
-    split: jnp.ndarray     # (M, 3) split direction (largest-eigenvalue axis)
-    normal: jnp.ndarray    # (M, 3) resolved surfel normal (leaf semantics)
-    repr: jnp.ndarray      # (M, 3) leaf representative point (nearest to mean)
-    bbox0: jnp.ndarray     # (M,)   smallest oriented extent (planarity weight)
-    is_leaf: jnp.ndarray   # (M,)   bool
-    is_real: jnp.ndarray   # (M,)   bool
+    nav: jnp.ndarray     # (M, 64)
+    surfel: jnp.ndarray  # (M, 8)
+
+    # -- reference-field views (panel 0 of nav / surfel columns) ----------
+    @property
+    def mean(self) -> jnp.ndarray:
+        return self.nav[..., 0:3]
+
+    @property
+    def split(self) -> jnp.ndarray:
+        return self.nav[..., 3:6]
+
+    @property
+    def repr(self) -> jnp.ndarray:
+        return self.surfel[..., 0:3]
+
+    @property
+    def normal(self) -> jnp.ndarray:
+        return self.surfel[..., 3:6]
+
+    @property
+    def bbox0(self) -> jnp.ndarray:
+        return self.surfel[..., 6]
+
+    @property
+    def is_leaf(self) -> jnp.ndarray:
+        flags = self.nav[..., 7]
+        return (flags == 1.0) | (flags == 3.0)
+
+    @property
+    def is_real(self) -> jnp.ndarray:
+        return self.nav[..., 7] >= 2.0
 
     @property
     def depth(self) -> int:
-        return int(math.log2(self.mean.shape[-2])) - 1
+        return int(math.log2(self.nav.shape[-2])) - 1
 
 
 class Leaves(NamedTuple):
@@ -105,6 +146,49 @@ def _sym_from6(u: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _pack_tree(arena: dict, M: int, dtype) -> SearchTree:
+    """Assemble the gather-optimised layout from per-field arena arrays.
+
+    All child/grandchild panels are strided views of the block table
+    (children of ``i`` are rows ``2i``/``2i+1``), so packing is dense
+    reshape/concat work — no scatters, no gathers.
+    """
+    flags = arena["is_leaf"].astype(dtype) + 2.0 * arena["is_real"].astype(dtype)
+    real_pairs = arena["is_real"].astype(dtype).reshape(M // 2, 2)
+    kids_half = real_pairs[:, 0] + 2.0 * real_pairs[:, 1]
+    kids = jnp.concatenate([kids_half, jnp.zeros((M - M // 2,), dtype)])
+
+    B = jnp.concatenate(
+        [arena["mean"], arena["split"], kids[:, None], flags[:, None]], axis=1
+    )  # (M, 8)
+
+    def strided(k: int, j: int) -> jnp.ndarray:
+        """Rows ``B[k*n + j]`` for n < M//k, zero-padded to M."""
+        rows = B.reshape(M // k, k, 8)[:, j]
+        return jnp.concatenate([rows, jnp.zeros((M - M // k, 8), dtype)], axis=0)
+
+    nav = jnp.concatenate(
+        [
+            B,                 # panel 0: self
+            strided(2, 0),     # panel 1: left child
+            strided(2, 1),     # panel 2: right child
+            strided(4, 0),     # panels 3-6: grandchildren
+            strided(4, 1),
+            strided(4, 2),
+            strided(4, 3),
+            jnp.zeros((M, 8), dtype),
+        ],
+        axis=1,
+    )
+
+    ok = (arena["is_leaf"] & arena["is_real"]).astype(dtype)
+    surfel = jnp.concatenate(
+        [arena["repr"], arena["normal"], arena["bbox0"][:, None], ok[:, None]],
+        axis=1,
+    )
+    return SearchTree(nav=nav, surfel=surfel)
+
+
 def build_tree(
     points: jnp.ndarray,
     valid: jnp.ndarray,
@@ -115,6 +199,18 @@ def build_tree(
 ) -> tuple[SearchTree, jnp.ndarray]:
     """Build a MAD-tree over a padded point cloud.
 
+    The level loop is unrolled in Python so every level works on exactly
+    the arena rows it owns (level ``l`` is the static slice
+    ``[2^l, 2^{l+1})`` of the heap order): per-node statistics are formed
+    by scatter-adds from the points into ``(2^l, C)`` tables, node math
+    (eigendecomposition, leaf tests, normal inheritance) runs on those
+    compact per-level arrays (their total size over all levels is ~N, not
+    N x depth), and the finished level arrays concatenate directly into
+    the arena — no sorting, no segmented scans, no full-arena scatters.
+    Parent information flows down as a per-node pack gathered with a
+    static ``repeat`` (children of row i at the previous level are rows
+    2i/2i+1 of this one).
+
     Args:
         points: (N, 3) padded point cloud (padding must be finite).
         valid:  (N,) bool mask of real points.
@@ -124,169 +220,158 @@ def build_tree(
         b_min:  plane-predecessor criterion on the smallest oriented extent.
 
     Returns:
-        (tree, point_leaf): the arena-form tree and, per input point (in the
+        (tree, point_leaf): the packed tree and, per input point (in the
         original order), the arena id of the leaf containing it (0 for
         padding points).
     """
     dtype = points.dtype
     N = points.shape[0]
     M = tree_arena_size(depth)
-    INVALID = jnp.int32(M)
-
-    iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
-
-    sort_id0 = jnp.where(valid, jnp.int32(1), INVALID)
-    order0 = jnp.argsort(sort_id0, stable=True)
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-
-    arena = dict(
-        mean=jnp.zeros((M, 3), dtype),
-        split=jnp.zeros((M, 3), dtype),
-        normal=jnp.zeros((M, 3), dtype),
-        repr=jnp.zeros((M, 3), dtype),
-        bbox0=jnp.zeros((M,), dtype),
-        is_leaf=jnp.zeros((M,), bool),
-        is_real=jnp.zeros((M,), bool),
-        # build-time only:
-        pca_normal=jnp.zeros((M, 3), dtype),
-        npts=jnp.zeros((M,), jnp.int32),
-        pp=jnp.zeros((M,), jnp.int32),
-    )
-
-    carry0 = dict(
-        pts=points[order0],
-        valid=valid[order0],
-        orig=iota[order0],
-        sort_id=sort_id0[order0],
-        frozen=~valid[order0],
-        leaf_of=jnp.zeros((N,), jnp.int32),
-        arena=arena,
-    )
 
     b_max = jnp.asarray(b_max, dtype)
     b_min = jnp.asarray(b_min, dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    big_i = jnp.int32(2**31 - 1)
 
-    def level_body(level, c):
-        pts, val = c["pts"], c["valid"]
-        sort_id, frozen = c["sort_id"], c["frozen"]
-        arena = c["arena"]
-        active_in = (~frozen) & val
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
+    kw = dict(mode="drop")
+
+    # per-point state
+    node = jnp.where(valid, jnp.int32(1), jnp.int32(0))
+    frozen = ~valid
+    leaf_of = jnp.zeros((N,), jnp.int32)
+    prev_mean_pt = jnp.zeros((N, 3), dtype)  # parent mean: moment shift
+
+    # per-node pack handed from a level to its children:
+    # [mean(3), pca_n(3), ppn(3), n3(3), bbox0(1), has_pp(1)]
+    root_parent = jnp.concatenate(
+        [jnp.zeros((1, 12), dtype), jnp.full((1, 1), big, dtype),
+         jnp.zeros((1, 1), dtype)], axis=1
+    )
+    prev_pack = root_parent  # level -1 sentinel: shift 0, no pp, no n3
+
+    levels = []  # per-level node field dicts, concatenated into the arena
+
+    for level in range(depth + 1):
+        lo, sz = 1 << level, 1 << level
         force_leaf = level == depth
+        live = (~frozen) & valid
+        idx = jnp.where(live, node - lo, jnp.int32(sz))  # local node index
 
-        starts = ss.segment_starts(sort_id)
-        ends = ss.segment_ends(sort_id)
+        # ---- moments: one scatter-add per point, shifted by parent mean
+        # for f32 stability (utils.h:54-73 computes exact moments in f64;
+        # the parent-mean shift keeps the f32 covariance accurate at depth)
+        d = points - prev_mean_pt
+        mom = jnp.concatenate(
+            [d, _outer6(d), jnp.ones((N, 1), dtype)], axis=1
+        )  # (N, 10)
+        node_mom = jnp.zeros((sz, 10), dtype).at[idx].add(mom, **kw)
 
-        # ---- pass 1: shifted moments -> mean, covariance, eigenbasis ----
-        ref = ss.seg_copy_first(pts, starts)
-        d = pts - ref
-        ones = jnp.ones((N,), dtype)
-        sums = ss.seg_cumsum({"s1": d, "s2": _outer6(d), "cnt": ones}, starts)
-        k = sums["cnt"]
+        # ---- node math on the compact (sz, .) level arrays ----
+        par = prev_pack if level == 0 else jnp.repeat(prev_pack, 2, axis=0)
+        par_mean, par_pca = par[:, 0:3], par[:, 3:6]
+        par_ppn, par_n3 = par[:, 6:9], par[:, 9:12]
+        par_bbox0, par_has_pp = par[:, 12], par[:, 13] > 0
+
+        k = node_mom[:, 9]
         k_safe = jnp.maximum(k, 1.0)
-        mean_shift = sums["s1"] / k_safe[:, None]
-        mean = ref + mean_shift
-        cov6 = sums["s2"] / k_safe[:, None] - _outer6(mean_shift)
+        mean_shift = node_mom[:, 0:3] / k_safe[:, None]
+        mean = par_mean + mean_shift
+        cov6 = node_mom[:, 3:9] / k_safe[:, None] - _outer6(mean_shift)
         bessel = k / jnp.maximum(k - 1.0, 1.0)
         cov6 = jnp.where((k >= 2.0)[:, None], cov6 * bessel[:, None], 0.0)
-        _, evecs = eigh3(_sym_from6(cov6))  # (N,3,3): columns ascending
+        _, evecs = eigh3(_sym_from6(cov6))  # (sz,3,3): columns ascending
         pca_n = evecs[:, :, 0]
         split_dir = evecs[:, :, 2]
 
-        # broadcast the per-node (segment-end) statistics back to each point
-        bb = ss.seg_broadcast_last(
-            {"mean": mean, "evecs": evecs, "k": k}, ends
+        # plane predecessor (mad_tree.cpp:65-67, 90-93): the shallowest
+        # ancestor with bbox0 < b_min wins; its PCA normal (ppn) rides down
+        has_pp = par_has_pp | (par_bbox0 < b_min)
+        ppn = jnp.where(
+            par_has_pp[:, None],
+            par_ppn,
+            jnp.where((par_bbox0 < b_min)[:, None], par_pca, 0.0),
         )
-        node_mean_pt = bb["mean"]
-        node_evecs_pt = bb["evecs"]
-
-        # ---- pass 2: oriented bbox + nearest-to-mean representative ----
-        d2 = pts - node_mean_pt
-        v = jnp.einsum("nij,ni->nj", node_evecs_pt, d2)
-        mins = ss.seg_cummin(v, starts)
-        maxs = ss.seg_cummax(v, starts)
-        extents = jnp.maximum(maxs, 0.0) - jnp.minimum(mins, 0.0)
-        dist = jnp.linalg.norm(d2, axis=-1)
-        # padding-safe: key never matters for masked segments
-        _, near_pos = ss.seg_argmin(jnp.where(val, dist, big), iota, starts)
-        near_pt = jnp.take(pts, near_pos, axis=0)
-
-        # ---- per-node classification (values meaningful at segment ends) --
-        is_leaf_node = force_leaf | (extents[:, 2] < b_max)
-        pid = sort_id >> 1
-        parent_pp = jnp.take(arena["pp"], pid, mode="clip")
-        parent_bbox0 = jnp.take(arena["bbox0"], pid, mode="clip")
-        node_pp = jnp.where(
-            parent_pp > 0,
-            parent_pp,
-            jnp.where(parent_bbox0 < b_min, pid, jnp.int32(0)),
-        )
-
-        # leaf normal resolution: plane predecessor, else <3-point parent walk
-        n_pp = jnp.take(arena["pca_normal"], node_pp, axis=0, mode="clip")
+        # nearest >=3-point ancestor-or-self normal (mad_tree.cpp:68-73)
+        n3 = jnp.where((k >= 3.0)[:, None], pca_n, par_n3)
         few = k < 3.0
-        cur = jnp.where(few & (sort_id >= 2), pid, sort_id)
-        for _ in range(depth):
-            step = (jnp.take(arena["npts"], cur, mode="clip") < 3) & (cur >= 2)
-            cur = jnp.where(step, cur >> 1, cur)
-        n_walk = jnp.take(arena["pca_normal"], cur, axis=0, mode="clip")
-        normal = jnp.where(
-            (node_pp > 0)[:, None],
-            n_pp,
-            jnp.where((few & (sort_id >= 2))[:, None], n_walk, pca_n),
+        if level == 0:  # the root has no ancestors to inherit from
+            fallback = pca_n
+        else:
+            fallback = jnp.where(few[:, None], par_n3, pca_n)
+        normal = jnp.where(has_pp[:, None], ppn, fallback)
+
+        # ---- per-point: eigenbasis coordinates, bbox, nearest-to-mean ----
+        packA = jnp.concatenate(
+            [mean, evecs.reshape(sz, 9), k[:, None]], axis=1
+        )  # (sz, 13)
+        ptA = jnp.take(packA, jnp.minimum(idx, sz - 1), axis=0)
+        mean_pt = ptA[:, 0:3]
+        evecs_pt = ptA[:, 3:12].reshape(N, 3, 3)
+        d2 = points - mean_pt
+        v = jnp.einsum("nij,ni->nj", evecs_pt, d2)
+        dist = jnp.linalg.norm(d2, axis=-1)
+
+        ext = jnp.concatenate([v, dist[:, None], -v], axis=1)  # (N, 7)
+        node_ext = jnp.full((sz, 7), big, dtype).at[idx].min(ext, **kw)
+        vmin = node_ext[:, 0:3]
+        dmin = node_ext[:, 3]
+        vmax = -node_ext[:, 4:7]
+        extents = jnp.maximum(vmax, 0.0) - jnp.minimum(vmin, 0.0)
+        is_real_node = k > 0
+        is_leaf_node = is_real_node & (force_leaf | (extents[:, 2] < b_max))
+
+        # nearest-to-mean representative, first-point tie-break
+        # (mad_tree.cpp:76-86): min distance -> min index among equals ->
+        # that point writes itself into the node row
+        packB = jnp.stack([dmin, is_leaf_node.astype(dtype)], axis=1)
+        ptB = jnp.take(packB, jnp.minimum(idx, sz - 1), axis=0)
+        is_near = live & (dist == ptB[:, 0])
+        near_pos = jnp.full((sz,), big_i).at[idx].min(
+            jnp.where(is_near, iota, big_i), **kw
+        )
+        pos_pt = jnp.take(near_pos, jnp.minimum(idx, sz - 1))
+        writer = jnp.where(is_near & (iota == pos_pt), idx, jnp.int32(sz))
+        near_arr = jnp.zeros((sz, 3), dtype).at[writer].set(points, **kw)
+        repr_ = jnp.where(is_leaf_node[:, None], near_arr, mean)
+
+        levels.append(
+            dict(
+                mean=mean,
+                split=split_dir,
+                normal=normal,
+                repr=repr_,
+                bbox0=extents[:, 0],
+                is_leaf=is_leaf_node,
+                is_real=is_real_node,
+            )
         )
 
-        # ---- arena writes (one writer per node: its segment end) ----
-        wmask = ends & active_in & (sort_id < M)
-        wid = jnp.where(wmask, sort_id, INVALID)
-        aw = dict(arena)
-        kw = dict(mode="drop", unique_indices=True)
-        aw["mean"] = aw["mean"].at[wid].set(mean, **kw)
-        aw["split"] = aw["split"].at[wid].set(split_dir, **kw)
-        aw["normal"] = aw["normal"].at[wid].set(normal, **kw)
-        aw["repr"] = aw["repr"].at[wid].set(
-            jnp.where(is_leaf_node[:, None], near_pt, mean), **kw
+        # ---- per-point updates: freeze new leaves, descend the rest ----
+        leaf_pt = ptB[:, 1] > 0
+        newly = live & leaf_pt
+        leaf_of = jnp.where(newly, node, leaf_of)
+        frozen = frozen | newly
+        if level < depth:
+            go_right = v[:, 2] >= 0
+            node = jnp.where(
+                live & ~newly, 2 * node + go_right.astype(jnp.int32), node
+            )
+            prev_mean_pt = jnp.where(live[:, None], mean_pt, prev_mean_pt)
+            prev_pack = jnp.concatenate(
+                [mean, pca_n, ppn, n3, extents[:, 0:1],
+                 has_pp.astype(dtype)[:, None]], axis=1
+            )
+
+    arena = {
+        key: jnp.concatenate(
+            [jnp.zeros((1,) + levels[0][key].shape[1:], levels[0][key].dtype)]
+            + [lv[key] for lv in levels]
         )
-        aw["bbox0"] = aw["bbox0"].at[wid].set(extents[:, 0], **kw)
-        aw["is_leaf"] = aw["is_leaf"].at[wid].set(is_leaf_node, **kw)
-        aw["is_real"] = aw["is_real"].at[wid].set(jnp.ones((N,), bool), **kw)
-        aw["pca_normal"] = aw["pca_normal"].at[wid].set(pca_n, **kw)
-        aw["npts"] = aw["npts"].at[wid].set(k.astype(jnp.int32), **kw)
-        aw["pp"] = aw["pp"].at[wid].set(node_pp, **kw)
-
-        # ---- point updates: freeze new leaves, split the rest ----
-        leaf_pt = ss.seg_broadcast_last(is_leaf_node, ends)
-        newly = active_in & leaf_pt
-        leaf_of = jnp.where(newly, sort_id, c["leaf_of"])
-        frozen2 = frozen | newly
-        node_split_pt = ss.seg_broadcast_last(split_dir, ends)
-        go_right = jnp.sum((pts - node_mean_pt) * node_split_pt, -1) >= 0
-        child = 2 * sort_id + jnp.where(frozen2 | ~go_right, 0, 1)
-        new_id = jnp.where(val, child, INVALID)
-
-        perm = jnp.argsort(new_id, stable=True)
-        return dict(
-            pts=pts[perm],
-            valid=val[perm],
-            orig=c["orig"][perm],
-            sort_id=new_id[perm],
-            frozen=frozen2[perm],
-            leaf_of=leaf_of[perm],
-            arena=aw,
-        )
-
-    c = jax.lax.fori_loop(0, depth + 1, level_body, carry0)
-
-    point_leaf = jnp.zeros((N,), jnp.int32).at[c["orig"]].set(c["leaf_of"])
-    a = c["arena"]
-    tree = SearchTree(
-        mean=a["mean"],
-        split=a["split"],
-        normal=a["normal"],
-        repr=a["repr"],
-        bbox0=a["bbox0"],
-        is_leaf=a["is_leaf"],
-        is_real=a["is_real"],
-    )
+        for key in levels[0]
+    }
+    point_leaf = jnp.where(valid, leaf_of, 0)
+    tree = _pack_tree(arena, M, dtype)
     return tree, point_leaf
 
 
@@ -296,25 +381,54 @@ def search_tree(tree: SearchTree, queries: jnp.ndarray, depth: Optional[int] = N
     Pure descent by split-plane sign, no backtracking, exactly like the
     reference's ``bestMatchingLeafFast`` (``mad_tree.cpp:144-152``); the
     statistical exactness is recovered by ICP's gating/weighting.
+
+    One ``nav`` gather yields the current node's whole depth-2 subtree, so
+    each loop iteration advances THREE levels; child blocks are picked with
+    cheap vector selects instead of further gathers.
     """
     if depth is None:
         depth = tree.depth
     Q = queries.shape[0]
+    n_gathers = -(-depth // 3)
     node0 = jnp.ones((Q,), jnp.int32)
 
-    def body(_, node):
-        leaf = jnp.take(tree.is_leaf, node)
-        mean = jnp.take(tree.mean, node, axis=0)
-        split = jnp.take(tree.split, node, axis=0)
-        left = jnp.sum((queries - mean) * split, -1) < 0
-        child = 2 * node + jnp.where(left, jnp.int32(0), jnp.int32(1))
-        ok = jnp.take(
-            tree.is_real,
-            jnp.minimum(child, jnp.int32(tree.is_real.shape[-1] - 1)),
-        )
-        return jnp.where(leaf | ~ok, node, child).astype(jnp.int32)
+    def gather_step(g, node):
+        row = jnp.take(tree.nav, node, axis=0)  # (Q, 64)
+        blk = row[:, 0:8]
+        b1 = jnp.zeros((Q,), bool)
+        for s in range(3):
+            active = (g * 3 + s) < depth
+            side = jnp.sum((queries - blk[:, 0:3]) * blk[:, 3:6], -1) >= 0
+            flags = blk[:, 7]
+            leaf = (flags == 1.0) | (flags == 3.0)
+            real = flags >= 2.0
+            kids = blk[:, 6]
+            has = jnp.where(side, kids >= 2.0, (kids == 1.0) | (kids == 3.0))
+            step = active & real & ~leaf & has
+            node = jnp.where(step, 2 * node + side.astype(jnp.int32), node)
+            if s == 0:
+                child = jnp.where(
+                    side[:, None], row[:, 16:24], row[:, 8:16]
+                )
+                blk = jnp.where(step[:, None], child, blk)
+                b1 = side & step
+            elif s == 1:
+                lo = jnp.where(side[:, None], row[:, 32:40], row[:, 24:32])
+                hi = jnp.where(side[:, None], row[:, 48:56], row[:, 40:48])
+                child = jnp.where(b1[:, None], hi, lo)
+                blk = jnp.where(step[:, None], child, blk)
+        return node
 
-    return jax.lax.fori_loop(0, depth, body, node0)
+    return jax.lax.fori_loop(0, n_gathers, gather_step, node0)
+
+
+def search_payload(tree: SearchTree, leaf_ids: jnp.ndarray):
+    """Gather the leaf payload for descent results in one packed row read.
+
+    Returns ``(pts, normals, bbox0, ok)``.
+    """
+    lf = jnp.take(tree.surfel, leaf_ids, axis=0)
+    return lf[:, 0:3], lf[:, 3:6], lf[:, 6], lf[:, 7] > 0
 
 
 def get_leaves(tree: SearchTree, max_leaves: int) -> Leaves:
@@ -324,29 +438,37 @@ def get_leaves(tree: SearchTree, max_leaves: int) -> Leaves:
     order-invariant (sums over leaves), unlike the reference's DFS
     ``getLeafs`` (``mad_tree.cpp:154-163``) whose order is also unused.
     """
-    flag = tree.is_leaf & tree.is_real
+    flag = tree.surfel[..., 7] > 0
     order = jnp.argsort(~flag, stable=True)
     ids = order[:max_leaves]
+    lf = jnp.take(tree.surfel, ids, axis=0)
     return Leaves(
-        pts=jnp.take(tree.repr, ids, axis=0),
-        normal=jnp.take(tree.normal, ids, axis=0),
-        bbox0=jnp.take(tree.bbox0, ids),
+        pts=lf[:, 0:3],
+        normal=lf[:, 3:6],
+        bbox0=lf[:, 6],
         valid=jnp.take(flag, ids),
     )
 
 
 def count_leaves(tree: SearchTree) -> jnp.ndarray:
-    return jnp.sum(tree.is_leaf & tree.is_real)
+    return jnp.sum(tree.surfel[..., 7] > 0)
 
 
 def transform_tree(tree: SearchTree, R: jnp.ndarray, t: jnp.ndarray) -> SearchTree:
     """Rigidly move a tree into another frame (reference ``applyTransform``,
     ``mad_tree.cpp:165-172``): rotate the eigen-directions, transform the
     anchor/representative points. Oriented extents are rotation-invariant.
+
+    Every ``nav`` panel is some node's ``[mean, split, kids, flags]``
+    block, so the whole table transforms panel-wise in one fused pass.
     """
-    return tree._replace(
-        mean=tree.mean @ R.T + t,
-        repr=tree.repr @ R.T + t,
-        split=tree.split @ R.T,
-        normal=tree.normal @ R.T,
+    M = tree.nav.shape[-2]
+    panels = tree.nav.reshape(M, 8, 8)
+    mean = panels[..., 0:3] @ R.T + t
+    split = panels[..., 3:6] @ R.T
+    nav = jnp.concatenate([mean, split, panels[..., 6:8]], axis=-1)
+    srf = tree.surfel
+    surfel = jnp.concatenate(
+        [srf[:, 0:3] @ R.T + t, srf[:, 3:6] @ R.T, srf[:, 6:8]], axis=-1
     )
+    return SearchTree(nav=nav.reshape(M, 64), surfel=surfel)

@@ -46,16 +46,28 @@ def icp_round_sharded(
 
     def local(kf_tree, kf_valid, leaves_pts, leaves_valid, X):
         dtype = leaves_pts.dtype
-        terms = jax.vmap(
-            lambda t: icp_terms(
-                t, leaves_pts, leaves_valid, X,
+        L = leaves_pts.shape[0]
+
+        # sequential over the local keyframes (gather-locality, see
+        # models/pipeline.py one_round), psum over the kf mesh axis
+        def per_kf(acc, kf):
+            tree_fields, v = kf
+            terms = icp_terms(
+                SearchTree(*tree_fields), leaves_pts, leaves_valid, X,
                 b_max=b_max, b_ratio=b_ratio, rho_ker=rho_ker,
             )
-        )(kf_tree)
-        w = kf_valid.astype(dtype)
-        H = jnp.einsum("kij,k->ij", terms.H, w)
-        b = jnp.einsum("ki,k->i", terms.b, w)
-        matched = jnp.any(terms.matched & kf_valid[:, None], axis=0)
+            H, b, matched = acc
+            return (
+                H + terms.H * v,
+                b + terms.b * v,
+                matched | (terms.matched & (v > 0)),
+            ), None
+
+        acc0 = (jnp.zeros((6, 6), dtype), jnp.zeros((6,), dtype),
+                jnp.zeros(L, bool))
+        (H, b, matched), _ = jax.lax.scan(
+            per_kf, acc0, (tuple(kf_tree), kf_valid.astype(dtype))
+        )
         H = jax.lax.psum(H, "kf")
         b = jax.lax.psum(b, "kf")
         matched = jax.lax.psum(matched.astype(jnp.int32), "kf") > 0
