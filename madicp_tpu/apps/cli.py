@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="moving-leaf capacity (0 = n_points)")
     p.add_argument("--max-scans", type=int, default=0,
                    help="stop after this many scans (0 = all)")
+    p.add_argument("--no-prefetch", action="store_true",
+                   help="disable background scan prefetching")
     return p
 
 
@@ -122,6 +124,10 @@ def main(argv=None) -> int:
     lidar_to_base = data_cf.extrinsics
 
     reader = make_reader(fmt, args.data_path, data_cf)
+    if not args.no_prefetch:
+        from madicp_tpu.native.prefetch import Prefetcher
+
+        reader = Prefetcher(reader)
     n_scans = 0
     budget_ms = 1000.0 / data_cf.sensor_hz
     with reader:

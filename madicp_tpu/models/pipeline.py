@@ -111,16 +111,16 @@ class StepOutput(NamedTuple):
 
 def _empty_tree(cfg: PipelineConfig, lead: tuple = ()) -> SearchTree:
     M = cfg.arena
-    return SearchTree(
-        nav=jnp.zeros(lead + (M, 64), cfg.dtype),
-        surfel=jnp.zeros(lead + (M, 8), cfg.dtype),
-    )
+    return SearchTree(nav=jnp.zeros(lead + (M, 64), cfg.dtype))
 
 
 def init_state(cfg: PipelineConfig) -> PipelineState:
     eye = jnp.eye(4, dtype=cfg.dtype)
+    # NOTE: X and keyframe_to_map must be DISTINCT buffers — the Pipeline
+    # donates its state every step, and donating one buffer reachable
+    # through two pytree leaves is an XLA error.
     return PipelineState(
-        X=eye,
+        X=jnp.eye(4, dtype=cfg.dtype),
         velocity=jnp.zeros(6, cfg.dtype),
         traj=jnp.tile(eye, (SMOOTHING_T, 1, 1)),
         traj_count=jnp.zeros((), jnp.int32),
@@ -203,14 +203,17 @@ def odometry_step(
     # Keyframes are processed with a sequential lax.scan rather than a
     # vmap: the descent gathers then hit one keyframe's ~34 MB node table
     # at a time instead of interleaving across the whole ring, which
-    # measures ~4x faster on v5e (HBM gather cost grows with the working
-    # set). The reduction over keyframes is the OpenMP-adder analog
-    # (mad_icp.cpp:100-110); under kf-sharding each device scans its local
-    # keyframes and a psum completes the sum (parallel/sharded_icp.py).
+    # measures ~4x faster on v5e — HBM gather cost grows with the gather
+    # operand size, so one big (K*M, 64) forest table is NOT an option
+    # (measured ~10x slower) and the per-keyframe dynamic-slice the scan
+    # makes is the cheaper evil. The reduction over keyframes is the
+    # OpenMP-adder analog (mad_icp.cpp:100-110); under kf-sharding each
+    # device scans its local keyframes and a psum completes the sum
+    # (parallel/sharded_icp.py).
     kf_valid_f = state.kf_valid.astype(dtype)
 
-    def one_round(_, carry):
-        X, _, _ = carry
+    def accumulate(X, with_matched: bool):
+        """One association+accumulation pass over all keyframes."""
 
         def per_kf(acc, kf):
             tree_fields, v = kf
@@ -223,31 +226,33 @@ def odometry_step(
                 b_ratio=cfg.b_ratio,
                 rho_ker=cfg.rho_ker,
             )
-            H, b, matched = acc
-            return (
-                H + terms.H * v,
-                b + terms.b * v,
-                matched | (terms.matched & (v > 0)),
-            ), None
+            out = (acc[0] + terms.H * v, acc[1] + terms.b * v)
+            if with_matched:
+                out += (acc[2] | (terms.matched & (v > 0)),)
+            return out, None
 
-        acc0 = (
-            jnp.zeros((6, 6), dtype),
-            jnp.zeros((6,), dtype),
-            jnp.zeros(cfg.leaves_cap, bool),
-        )
-        (H, b, matched), _ = jax.lax.scan(
-            per_kf, acc0, (tuple(state.kf_tree), kf_valid_f)
-        )
-        return gn_se3_step(X, H, b), matched, H
+        acc0 = (jnp.zeros((6, 6), dtype), jnp.zeros((6,), dtype))
+        if with_matched:
+            acc0 += (jnp.zeros(cfg.leaves_cap, bool),)
+        acc, _ = jax.lax.scan(per_kf, acc0, (tuple(state.kf_tree), kf_valid_f))
+        return acc
 
-    carry0 = (
-        X0,
-        jnp.zeros(cfg.leaves_cap, bool),
-        jnp.zeros((6, 6), dtype),
-    )
-    X, matched, H_last = jax.lax.fori_loop(
-        0, cfg.max_icp_iterations, one_round, carry0
-    )
+    # the reference resets `matched` only before the LAST iteration
+    # (pipeline.cpp:172-176), so the inlier ratio and the information
+    # weight come from the final association/H only — earlier rounds
+    # skip that bookkeeping entirely.
+    if cfg.max_icp_iterations > 0:
+        def one_round(_, X):
+            H, b = accumulate(X, with_matched=False)
+            return gn_se3_step(X, H, b)
+
+        X = jax.lax.fori_loop(0, cfg.max_icp_iterations - 1, one_round, X0)
+        H_last, b_last, matched = accumulate(X, with_matched=True)
+        X = gn_se3_step(X, H_last, b_last)
+    else:
+        X = X0
+        H_last = jnp.zeros((6, 6), dtype)
+        matched = jnp.zeros(cfg.leaves_cap, bool)
 
     # ---- inlier ratio over final-round matches (pipeline.cpp:197-204) ----
     n_leaves = jnp.sum(leaves.valid)
@@ -323,14 +328,23 @@ def odometry_step(
     return new_state, out
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def pipeline_step(cfg: PipelineConfig, state: PipelineState, points, valid, stamp):
+def _pipeline_step_impl(cfg: PipelineConfig, state: PipelineState, points, valid, stamp):
     """Dispatch: first scan initialises, later scans run full odometry."""
     return jax.lax.cond(
         state.seq == 0,
         lambda: initialize_step(cfg, state, points, valid, stamp),
         lambda: odometry_step(cfg, state, points, valid, stamp),
     )
+
+
+pipeline_step = partial(jax.jit, static_argnames=("cfg",))(_pipeline_step_impl)
+
+# The Pipeline class owns its state and never reuses the previous step's,
+# so it donates the (~1 GB of keyframe/frame rings) input state — XLA then
+# updates the ring slots in place instead of copying every buffer each scan.
+_pipeline_step_donated = jax.jit(
+    _pipeline_step_impl, static_argnames=("cfg",), donate_argnums=(1,)
+)
 
 
 class Pipeline:
@@ -380,7 +394,7 @@ class Pipeline:
     def compute(self, stamp: float, points: np.ndarray) -> None:
         """Process one scan (reference ``Pipeline::compute``)."""
         pts, valid = self._pad(points)
-        self.state, self._last = pipeline_step(
+        self.state, self._last = _pipeline_step_donated(
             self.cfg, self.state, pts, valid, jnp.asarray(stamp, self.cfg.dtype)
         )
 

@@ -1,0 +1,67 @@
+"""Scan prefetching: overlap dataset I/O with device compute.
+
+The reference reads each scan synchronously before every ``compute``
+(``apps/mad_icp.py:172-177``, ``bin_runner.cpp:120-165``), serialising
+disk + decode with odometry. Here a bounded background thread keeps a few
+decoded scans ahead, so the host-side read cost disappears behind the
+TPU step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+
+class Prefetcher:
+    """Iterate a reader on a background thread with a bounded buffer.
+
+    Wraps any of the dataset readers (they yield ``(stamp, points)``).
+    Exceptions raised by the reader are re-raised on the consumer side.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, reader, depth: int = 4):
+        self._reader = reader
+        self._queue: queue.Queue = queue.Queue(maxsize=max(1, depth))
+        self._thread: threading.Thread | None = None
+
+    def __enter__(self):
+        if hasattr(self._reader, "__enter__"):
+            self._reader.__enter__()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        # drain so the producer can observe the sentinel and exit
+        while self._thread is not None and self._thread.is_alive():
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                break
+        if hasattr(self._reader, "__exit__"):
+            return self._reader.__exit__(exc_type, exc_val, exc_tb)
+        return False
+
+    def _run(self):
+        try:
+            for item in self._reader:
+                self._queue.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            self._queue.put((self._SENTINEL, e))
+            return
+        self._queue.put((self._SENTINEL, None))
+
+    def __iter__(self):
+        while True:
+            item = self._queue.get()
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is self._SENTINEL:
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+
+    def __len__(self):
+        return len(self._reader)

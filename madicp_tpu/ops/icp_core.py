@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from madicp_tpu.ops.lie import exp_se3_split
-from madicp_tpu.ops.tree import SearchTree, search_payload, search_tree
+from madicp_tpu.ops.tree import SearchTree, search_forest
 
 
 class IcpTerms(NamedTuple):
@@ -37,8 +37,10 @@ class IcpTerms(NamedTuple):
     matched: jnp.ndarray  # (L,) bool — gated matches of this fixed tree
 
 
-def icp_terms(
-    fixed_tree: SearchTree,
+def icp_terms_packed(
+    nav: jnp.ndarray,
+    base,
+    depth: int,
     moving_pts: jnp.ndarray,
     moving_valid: jnp.ndarray,
     X: jnp.ndarray,
@@ -47,10 +49,12 @@ def icp_terms(
     b_ratio,
     rho_ker,
 ) -> IcpTerms:
-    """Normal-equation contribution of one fixed tree for the moving leaves.
+    """Normal-equation contribution of one fixed tree inside a flat forest.
 
     Args:
-        fixed_tree: the map keyframe tree (already in the map frame).
+        nav: flat stacked arena(s), e.g. ``(K*M, 64)``.
+        base: (traced) row offset of the keyframe's arena in the forest.
+        depth: static tree depth (descent iteration count).
         moving_pts: (L, 3) moving leaf representatives, in the *local* frame.
         moving_valid: (L,) bool.
         X: (4, 4) current moving-to-fixed estimate.
@@ -62,8 +66,9 @@ def icp_terms(
     rho = jnp.sqrt(jnp.asarray(rho_ker, dtype))
 
     ml = moving_pts @ R.T + t
-    leaf = search_tree(fixed_tree, ml)
-    f_pt, f_n, f_bbox0, f_ok = search_payload(fixed_tree, leaf)
+    leaf = search_forest(nav, ml, base, depth)
+    lf = jnp.take(nav, jnp.asarray(base, jnp.int32) + leaf, axis=0)[:, 56:64]
+    f_pt, f_n, f_bbox0, f_ok = lf[:, 0:3], lf[:, 3:6], lf[:, 6], lf[:, 7] > 0
 
     # adaptive-radius gate (radius grows with point range)
     diff = ml - f_pt
@@ -86,6 +91,30 @@ def icp_terms(
     H = jnp.einsum("li,lj->ij", Jw, Jw, preferred_element_type=dtype)
     b = jnp.einsum("li,l->i", J, s * e, preferred_element_type=dtype)
     return IcpTerms(H=H, b=b, matched=matched)
+
+
+def icp_terms(
+    fixed_tree: SearchTree,
+    moving_pts: jnp.ndarray,
+    moving_valid: jnp.ndarray,
+    X: jnp.ndarray,
+    *,
+    b_max,
+    b_ratio,
+    rho_ker,
+) -> IcpTerms:
+    """Normal-equation contribution of one fixed tree (single-tree view)."""
+    return icp_terms_packed(
+        fixed_tree.nav,
+        0,
+        fixed_tree.depth,
+        moving_pts,
+        moving_valid,
+        X,
+        b_max=b_max,
+        b_ratio=b_ratio,
+        rho_ker=rho_ker,
+    )
 
 
 def icp_normal_equations(H_parts: jnp.ndarray, b_parts: jnp.ndarray):

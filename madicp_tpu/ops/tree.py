@@ -16,13 +16,14 @@ Storage is gather-optimised for the search/ICP hot loop. TPU HBM gathers
 cost ~5 ns *per row* independent of row width up to 256 bytes (measured on
 v5e), so the tree is stored as:
 
-- ``nav``  (M, 64): per node, the packed 8-float descent blocks
+- ``nav`` (M, 64): per node, the packed 8-float descent blocks
   ``[mean(3), split(3), kids, flags]`` of its **depth-2 subtree** — itself,
-  both children and all four grandchildren (7 blocks + padding). One
-  gather therefore advances a query THREE levels, cutting the number of
-  random-access rows per descent by ~10x versus per-field gathers.
-- ``surfel`` (M, 8): per node, the leaf payload
-  ``[repr(3), normal(3), bbox0, ok]`` gathered once at the end of descent.
+  both children and all four grandchildren (7 blocks) — plus an 8th block
+  holding the node's leaf payload ``[repr(3), normal(3), bbox0, ok]``.
+  One gather therefore advances a query THREE levels, cutting the number
+  of random-access rows per descent by ~10x versus per-field gathers, and
+  the payload rides in the same row (one extra gather at descent end, no
+  second table to slice per keyframe).
 
 ``kids`` encodes child existence (left + 2*right); ``flags`` encodes
 ``is_leaf + 2*is_real``.
@@ -61,16 +62,15 @@ from madicp_tpu.ops.eigh3 import eigh3
 class SearchTree(NamedTuple):
     """Packed arena form of a built MAD-tree.
 
-    Both arrays have node dimension ``M = 2 ** (depth + 1)``; index 0 is
-    unused, the root is index 1, children of ``i`` live at ``2i``/``2i+1``.
-    ``nav[n]`` holds the descent blocks of n's depth-2 subtree
-    (see module docstring); ``surfel[n]`` the leaf payload.
+    The node dimension is ``M = 2 ** (depth + 1)``; index 0 is unused,
+    the root is index 1, children of ``i`` live at ``2i``/``2i+1``.
+    ``nav[n]`` holds the descent blocks of n's depth-2 subtree in panels
+    0-6 and the leaf payload in panel 7 (see module docstring).
     """
 
-    nav: jnp.ndarray     # (M, 64)
-    surfel: jnp.ndarray  # (M, 8)
+    nav: jnp.ndarray  # (M, 64)
 
-    # -- reference-field views (panel 0 of nav / surfel columns) ----------
+    # -- reference-field views (panels of nav) ----------------------------
     @property
     def mean(self) -> jnp.ndarray:
         return self.nav[..., 0:3]
@@ -80,16 +80,20 @@ class SearchTree(NamedTuple):
         return self.nav[..., 3:6]
 
     @property
+    def surfel(self) -> jnp.ndarray:
+        return self.nav[..., 56:64]
+
+    @property
     def repr(self) -> jnp.ndarray:
-        return self.surfel[..., 0:3]
+        return self.nav[..., 56:59]
 
     @property
     def normal(self) -> jnp.ndarray:
-        return self.surfel[..., 3:6]
+        return self.nav[..., 59:62]
 
     @property
     def bbox0(self) -> jnp.ndarray:
-        return self.surfel[..., 6]
+        return self.nav[..., 62]
 
     @property
     def is_leaf(self) -> jnp.ndarray:
@@ -167,6 +171,11 @@ def _pack_tree(arena: dict, M: int, dtype) -> SearchTree:
         rows = B.reshape(M // k, k, 8)[:, j]
         return jnp.concatenate([rows, jnp.zeros((M - M // k, 8), dtype)], axis=0)
 
+    ok = (arena["is_leaf"] & arena["is_real"]).astype(dtype)
+    surfel = jnp.concatenate(
+        [arena["repr"], arena["normal"], arena["bbox0"][:, None], ok[:, None]],
+        axis=1,
+    )
     nav = jnp.concatenate(
         [
             B,                 # panel 0: self
@@ -176,17 +185,11 @@ def _pack_tree(arena: dict, M: int, dtype) -> SearchTree:
             strided(4, 1),
             strided(4, 2),
             strided(4, 3),
-            jnp.zeros((M, 8), dtype),
+            surfel,            # panel 7: this node's leaf payload
         ],
         axis=1,
     )
-
-    ok = (arena["is_leaf"] & arena["is_real"]).astype(dtype)
-    surfel = jnp.concatenate(
-        [arena["repr"], arena["normal"], arena["bbox0"][:, None], ok[:, None]],
-        axis=1,
-    )
-    return SearchTree(nav=nav, surfel=surfel)
+    return SearchTree(nav=nav)
 
 
 def build_tree(
@@ -375,8 +378,20 @@ def build_tree(
     return tree, point_leaf
 
 
-def search_tree(tree: SearchTree, queries: jnp.ndarray, depth: Optional[int] = None) -> jnp.ndarray:
-    """Approximate-NN descent: (Q, 3) queries -> (Q,) leaf arena ids.
+def search_forest(
+    nav: jnp.ndarray,
+    queries: jnp.ndarray,
+    base,
+    depth: int,
+) -> jnp.ndarray:
+    """Approximate-NN descent over one tree stored inside a flat forest.
+
+    ``nav`` is a stacked flat table (e.g. all keyframe arenas reshaped to
+    ``(K*M, 64)``) and ``base`` the (traced) row offset of the target tree.
+    Indexing into the flat table instead of dynamic-slicing one tree out
+    keeps a keyframe loop free of 34 MB slice copies while each gather
+    still touches only that tree's rows (HBM gather cost tracks the hot
+    footprint, not the operand size). Returns LOCAL heap leaf ids.
 
     Pure descent by split-plane sign, no backtracking, exactly like the
     reference's ``bestMatchingLeafFast`` (``mad_tree.cpp:144-152``); the
@@ -386,14 +401,13 @@ def search_tree(tree: SearchTree, queries: jnp.ndarray, depth: Optional[int] = N
     each loop iteration advances THREE levels; child blocks are picked with
     cheap vector selects instead of further gathers.
     """
-    if depth is None:
-        depth = tree.depth
     Q = queries.shape[0]
     n_gathers = -(-depth // 3)
     node0 = jnp.ones((Q,), jnp.int32)
+    base = jnp.asarray(base, jnp.int32)
 
     def gather_step(g, node):
-        row = jnp.take(tree.nav, node, axis=0)  # (Q, 64)
+        row = jnp.take(nav, base + node, axis=0)  # (Q, 64)
         blk = row[:, 0:8]
         b1 = jnp.zeros((Q,), bool)
         for s in range(3):
@@ -422,12 +436,19 @@ def search_tree(tree: SearchTree, queries: jnp.ndarray, depth: Optional[int] = N
     return jax.lax.fori_loop(0, n_gathers, gather_step, node0)
 
 
+def search_tree(tree: SearchTree, queries: jnp.ndarray, depth: Optional[int] = None) -> jnp.ndarray:
+    """Approximate-NN descent on a single tree: (Q, 3) -> (Q,) leaf ids."""
+    if depth is None:
+        depth = tree.depth
+    return search_forest(tree.nav, queries, 0, depth)
+
+
 def search_payload(tree: SearchTree, leaf_ids: jnp.ndarray):
     """Gather the leaf payload for descent results in one packed row read.
 
     Returns ``(pts, normals, bbox0, ok)``.
     """
-    lf = jnp.take(tree.surfel, leaf_ids, axis=0)
+    lf = jnp.take(tree.nav, leaf_ids, axis=0)[:, 56:64]
     return lf[:, 0:3], lf[:, 3:6], lf[:, 6], lf[:, 7] > 0
 
 
@@ -438,10 +459,10 @@ def get_leaves(tree: SearchTree, max_leaves: int) -> Leaves:
     order-invariant (sums over leaves), unlike the reference's DFS
     ``getLeafs`` (``mad_tree.cpp:154-163``) whose order is also unused.
     """
-    flag = tree.surfel[..., 7] > 0
+    flag = tree.nav[..., 63] > 0
     order = jnp.argsort(~flag, stable=True)
     ids = order[:max_leaves]
-    lf = jnp.take(tree.surfel, ids, axis=0)
+    lf = jnp.take(tree.nav, ids, axis=0)[:, 56:64]
     return Leaves(
         pts=lf[:, 0:3],
         normal=lf[:, 3:6],
@@ -451,7 +472,7 @@ def get_leaves(tree: SearchTree, max_leaves: int) -> Leaves:
 
 
 def count_leaves(tree: SearchTree) -> jnp.ndarray:
-    return jnp.sum(tree.surfel[..., 7] > 0)
+    return jnp.sum(tree.nav[..., 63] > 0)
 
 
 def transform_tree(tree: SearchTree, R: jnp.ndarray, t: jnp.ndarray) -> SearchTree:
@@ -459,16 +480,14 @@ def transform_tree(tree: SearchTree, R: jnp.ndarray, t: jnp.ndarray) -> SearchTr
     ``mad_tree.cpp:165-172``): rotate the eigen-directions, transform the
     anchor/representative points. Oriented extents are rotation-invariant.
 
-    Every ``nav`` panel is some node's ``[mean, split, kids, flags]``
-    block, so the whole table transforms panel-wise in one fused pass.
+    Every ``nav`` panel has the uniform layout ``[position(3),
+    direction(3), scalar(2)]`` (descent blocks: mean/split; the payload
+    panel: repr/normal), so the whole table transforms panel-wise in one
+    fused pass.
     """
     M = tree.nav.shape[-2]
     panels = tree.nav.reshape(M, 8, 8)
-    mean = panels[..., 0:3] @ R.T + t
-    split = panels[..., 3:6] @ R.T
-    nav = jnp.concatenate([mean, split, panels[..., 6:8]], axis=-1)
-    srf = tree.surfel
-    surfel = jnp.concatenate(
-        [srf[:, 0:3] @ R.T + t, srf[:, 3:6] @ R.T, srf[:, 6:8]], axis=-1
-    )
-    return SearchTree(nav=nav.reshape(M, 64), surfel=surfel)
+    pos = panels[..., 0:3] @ R.T + t
+    direc = panels[..., 3:6] @ R.T
+    nav = jnp.concatenate([pos, direc, panels[..., 6:8]], axis=-1)
+    return SearchTree(nav=nav.reshape(M, 64))

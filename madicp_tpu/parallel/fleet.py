@@ -65,11 +65,15 @@ class Fleet:
                 batched_step,
                 in_shardings=(st_shard, seq_s, seq_s, seq_s),
                 out_shardings=(st_shard, out_rep),
+                donate_argnums=(0,),
             )
             self.states = jax.device_put(states, st_shard)
         else:
-            self._step = jax.jit(batched_step)
-            self.states = states
+            self._step = jax.jit(batched_step, donate_argnums=(0,))
+            # force distinct buffers per leaf: the jitted vmap(init_state)
+            # may CSE identical constants (X / keyframe_to_map) into one
+            # buffer, which the donating step would reject
+            self.states = jax.tree.map(jnp.copy, states)
 
     def compute(self, stamps, points, valid):
         """Advance all sequences by one scan.

@@ -49,18 +49,17 @@ def icp_round_sharded(
         L = leaves_pts.shape[0]
 
         # sequential over the local keyframes (gather-locality, see
-        # models/pipeline.py one_round), psum over the kf mesh axis
+        # models/pipeline.py accumulate), psum over the kf mesh axis
         def per_kf(acc, kf):
             tree_fields, v = kf
             terms = icp_terms(
                 SearchTree(*tree_fields), leaves_pts, leaves_valid, X,
                 b_max=b_max, b_ratio=b_ratio, rho_ker=rho_ker,
             )
-            H, b, matched = acc
             return (
-                H + terms.H * v,
-                b + terms.b * v,
-                matched | (terms.matched & (v > 0)),
+                acc[0] + terms.H * v,
+                acc[1] + terms.b * v,
+                acc[2] | (terms.matched & (v > 0)),
             ), None
 
         acc0 = (jnp.zeros((6, 6), dtype), jnp.zeros((6,), dtype),
