@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stop after this many scans (0 = all)")
     p.add_argument("--no-prefetch", action="store_true",
                    help="disable background scan prefetching")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save a resumable checkpoint every N scans (0 = off)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the checkpoint in --estimate-path")
+    p.add_argument("--profile", type=Path, default=None,
+                   help="capture a jax.profiler trace into this directory")
     return p
 
 
@@ -99,20 +105,33 @@ def main(argv=None) -> int:
     data_cf = load_dataset_config(args.dataset_config)
     mad_cf = load_mad_params(args.mad_icp_params)
 
-    pipeline = Pipeline(
-        sensor_hz=data_cf.sensor_hz,
-        deskew=data_cf.deskew,
-        b_max=mad_cf.b_max,
-        rho_ker=mad_cf.rho_ker,
-        p_th=mad_cf.p_th,
-        b_min=mad_cf.b_min,
-        b_ratio=mad_cf.b_ratio,
-        num_keyframes=args.num_keyframes,
-        realtime=args.realtime,
-        n_points=args.n_points,
-        depth=args.depth,
-        max_leaves=args.max_leaves,
+    from madicp_tpu.utils.checkpoint import (
+        checkpoint_path,
+        load_pipeline,
+        save_pipeline,
     )
+
+    ckpt = checkpoint_path(args.estimate_path)
+    start_scan = 0
+    if args.resume and ckpt.exists():
+        pipeline = load_pipeline(ckpt)
+        start_scan = pipeline.current_id()
+        print(f"resumed from {ckpt} at scan {start_scan}")
+    else:
+        pipeline = Pipeline(
+            sensor_hz=data_cf.sensor_hz,
+            deskew=data_cf.deskew,
+            b_max=mad_cf.b_max,
+            rho_ker=mad_cf.rho_ker,
+            p_th=mad_cf.p_th,
+            b_min=mad_cf.b_min,
+            b_ratio=mad_cf.b_ratio,
+            num_keyframes=args.num_keyframes,
+            realtime=args.realtime,
+            n_points=args.n_points,
+            depth=args.depth,
+            max_leaves=args.max_leaves,
+        )
 
     visualizer = None
     if not args.noviz:
@@ -120,7 +139,9 @@ def main(argv=None) -> int:
 
         visualizer = Visualizer()
 
-    estimate_file = open(args.estimate_path / "estimate.txt", "w")
+    estimate_file = open(
+        args.estimate_path / "estimate.txt", "a" if start_scan else "w"
+    )
     lidar_to_base = data_cf.extrinsics
 
     reader = make_reader(fmt, args.data_path, data_cf)
@@ -128,11 +149,24 @@ def main(argv=None) -> int:
         from madicp_tpu.native.prefetch import Prefetcher
 
         reader = Prefetcher(reader)
+
+    profile_ctx = None
+    if args.profile is not None:
+        import jax
+
+        args.profile.mkdir(parents=True, exist_ok=True)
+        profile_ctx = jax.profiler.trace(str(args.profile))
+        profile_ctx.__enter__()
+
     n_scans = 0
     budget_ms = 1000.0 / data_cf.sensor_hz
     with reader:
         t_read = time.perf_counter()
         for ts, points in reader:
+            if n_scans < start_scan:  # resume: skip already-processed scans
+                n_scans += 1
+                t_read = time.perf_counter()
+                continue
             read_ms = (time.perf_counter() - t_read) * 1000
 
             t0 = time.perf_counter()
@@ -162,10 +196,16 @@ def main(argv=None) -> int:
                     )
 
             n_scans += 1
+            if args.checkpoint_every and n_scans % args.checkpoint_every == 0:
+                estimate_file.flush()
+                save_pipeline(ckpt, pipeline)
             if args.max_scans and n_scans >= args.max_scans:
                 break
             t_read = time.perf_counter()
 
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        print(f"profiler trace written to {args.profile}")
     estimate_file.close()
     print(f"wrote {n_scans} poses to {args.estimate_path / 'estimate.txt'}")
     return 0

@@ -66,7 +66,7 @@ def icp_terms_packed(
     rho = jnp.sqrt(jnp.asarray(rho_ker, dtype))
 
     ml = moving_pts @ R.T + t
-    leaf = search_forest(nav, ml, base, depth)
+    leaf = search_forest(nav, ml, base, depth, valid=moving_valid)
     lf = jnp.take(nav, jnp.asarray(base, jnp.int32) + leaf, axis=0)[:, 56:64]
     f_pt, f_n, f_bbox0, f_ok = lf[:, 0:3], lf[:, 3:6], lf[:, 6], lf[:, 7] > 0
 

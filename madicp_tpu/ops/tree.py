@@ -383,6 +383,7 @@ def search_forest(
     queries: jnp.ndarray,
     base,
     depth: int,
+    valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Approximate-NN descent over one tree stored inside a flat forest.
 
@@ -403,7 +404,12 @@ def search_forest(
     """
     Q = queries.shape[0]
     n_gathers = -(-depth // 3)
-    node0 = jnp.ones((Q,), jnp.int32)
+    # padding queries start (and stay) at the unreal row 0: their gathers
+    # all hit one hot cache line instead of random-walking the table
+    if valid is None:
+        node0 = jnp.ones((Q,), jnp.int32)
+    else:
+        node0 = valid.astype(jnp.int32)
     base = jnp.asarray(base, jnp.int32)
 
     def gather_step(g, node):

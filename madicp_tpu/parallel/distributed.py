@@ -1,0 +1,63 @@
+"""Multi-host initialisation and fleet orchestration helpers.
+
+The reference is strictly single-process shared-memory (SURVEY.md §2 P5).
+The TPU-native communication backend is ``jax.distributed`` + XLA
+collectives: hosts join one runtime, the global device set forms a
+``(seq, kf)`` mesh (parallel/mesh.py), the per-GN-round ``psum`` of the
+6x6 normal equations rides ICI, and DCN is touched only at
+startup/result-gathering — never inside the per-scan loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> dict:
+    """Join (or no-op into) the multi-host JAX runtime.
+
+    With no arguments, auto-detection is used (TPU pod metadata); on a
+    single host this is a no-op. Returns a summary of the topology.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+    return topology()
+
+
+def topology() -> dict:
+    """Summarise the process/device topology for logging."""
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+        "platform": jax.devices()[0].platform,
+    }
+
+
+def fleet_mesh(num_keyframes_axis: int = 1):
+    """Build the standard fleet mesh over ALL global devices.
+
+    ``kf`` spans chips within a host (ICI) and ``seq`` spans the rest —
+    sequences never communicate, so ``seq`` may safely cross hosts (DCN).
+    """
+    from madicp_tpu.parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    if n % num_keyframes_axis != 0:
+        raise ValueError(
+            f"{n} devices not divisible by kf axis {num_keyframes_axis}"
+        )
+    return make_mesh(kf=num_keyframes_axis, seq=n // num_keyframes_axis)

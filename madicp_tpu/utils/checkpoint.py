@@ -1,0 +1,76 @@
+"""Pipeline checkpoint / resume.
+
+The reference has no checkpointing — a crash loses the run and the only
+artifact is the appended ``estimate.txt`` (SURVEY.md §5). Here the whole
+odometry state (pose, velocity, trajectory window, keyframe and frame
+rings) is a single pytree of device arrays, so a checkpoint is one
+``.npz`` plus the static config as JSON; ``resume`` reconstructs a
+Pipeline mid-sequence bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def save_pipeline(path, pipe) -> None:
+    """Write a Pipeline's static config + full device state to ``path``."""
+    from madicp_tpu.models.pipeline import PipelineConfig  # noqa: F401
+
+    cfg = dataclasses.asdict(pipe.cfg)
+    cfg["dtype"] = np.dtype(pipe.cfg.dtype).name
+    leaves, treedef = jax.tree.flatten(pipe.state)
+    arrays = {f"leaf_{i}": np.asarray(a) for i, a in enumerate(leaves)}
+    np.savez_compressed(
+        path,
+        __config__=json.dumps(cfg),
+        __realtime__=np.asarray(pipe.realtime),
+        **arrays,
+    )
+
+
+def load_pipeline(path):
+    """Reconstruct a Pipeline (config + state) from a checkpoint file."""
+    import jax.numpy as jnp
+
+    from madicp_tpu.models.pipeline import Pipeline, PipelineConfig, init_state
+
+    with np.load(path, allow_pickle=False) as z:
+        cfg_d = json.loads(str(z["__config__"]))
+        realtime = bool(z["__realtime__"])
+        dtype = jnp.dtype(cfg_d.pop("dtype"))
+        cfg = PipelineConfig(dtype=dtype, **cfg_d)
+
+        pipe = Pipeline(
+            sensor_hz=cfg.sensor_hz,
+            deskew=cfg.deskew,
+            b_max=cfg.b_max,
+            rho_ker=cfg.rho_ker,
+            p_th=cfg.p_th,
+            b_min=cfg.b_min,
+            b_ratio=cfg.b_ratio,
+            num_keyframes=cfg.num_keyframes,
+            realtime=realtime,
+            n_points=cfg.n_points,
+            depth=cfg.depth,
+            max_leaves=cfg.max_leaves,
+            max_icp_iterations=cfg.max_icp_iterations,
+            dtype=dtype,
+        )
+        proto = init_state(cfg)
+        leaves, treedef = jax.tree.flatten(proto)
+        restored = [
+            jnp.asarray(z[f"leaf_{i}"], leaves[i].dtype)
+            for i in range(len(leaves))
+        ]
+        pipe.state = jax.tree.unflatten(treedef, restored)
+    return pipe
+
+
+def checkpoint_path(estimate_dir, name: str = "pipeline.ckpt.npz") -> Path:
+    return Path(estimate_dir) / name

@@ -67,3 +67,38 @@ def test_mad_registration_demo():
     # the reference demo configuration: 1000 points per wall, seed 42
     T = main(points_per_wall=1000, seed=42)
     np.testing.assert_allclose(T, np.eye(4), atol=5e-3)
+
+
+def test_cli_checkpoint_resume(tmp_path, rng):
+    """Interrupt after 2 scans, resume, and match an uninterrupted run."""
+    data = tmp_path / "data"
+    out_a = tmp_path / "out_a"
+    out_b = tmp_path / "out_b"
+    data.mkdir()
+    scans, _ = synthetic_room_scans(rng, n_scans=4, n_points=1000, step=0.05)
+    for i, s in enumerate(scans):
+        arr = np.zeros((len(s), 4), np.float32)
+        arr[:, :3] = s
+        arr.tofile(data / f"{i:06d}.bin")
+    from madicp_tpu.utils.config import DATASET_CONFIGS, dump_yaml
+
+    cfg = tmp_path / "ds.cfg"
+    dump_yaml(DATASET_CONFIGS["vbr_os0"], cfg)
+    base = ["--dataset-config", str(cfg), "--noviz",
+            "--n-points", "2048", "--depth", "11"]
+
+    # uninterrupted run
+    assert cli_main(["--data-path", str(data), "--estimate-path", str(out_a)]
+                    + base) == 0
+
+    # interrupted at 2 scans (checkpoint every scan), then resumed
+    assert cli_main(["--data-path", str(data), "--estimate-path", str(out_b),
+                     "--checkpoint-every", "1", "--max-scans", "2"] + base) == 0
+    assert (out_b / "pipeline.ckpt.npz").exists()
+    assert cli_main(["--data-path", str(data), "--estimate-path", str(out_b),
+                     "--resume"] + base) == 0
+
+    a = load_kitti_poses(out_a / "estimate.txt")
+    b = load_kitti_poses(out_b / "estimate.txt")
+    assert a.shape == b.shape == (4, 4, 4)
+    np.testing.assert_array_equal(a, b)
