@@ -213,3 +213,24 @@ def test_ate_and_drift_metrics(rng):
     T2[:, 0, 3] *= 1.01  # 1% scale error along x
     d2 = kitti_drift(T2, T)
     assert 0.5 < d2["t_err_pct"] < 2.0
+
+
+def test_shipped_config_files_match_presets():
+    """The YAML .cfg files shipped in madicp_tpu/configurations are
+    generated from (and must stay in sync with) the preset tables."""
+    from pathlib import Path
+
+    import madicp_tpu
+    from madicp_tpu.utils.config import (
+        DATASET_CONFIGS,
+        MAD_PARAMS,
+        load_dataset_config,
+        load_mad_params,
+    )
+
+    root = Path(madicp_tpu.__file__).parent / "configurations"
+    assert load_mad_params(root / "default.cfg") == MAD_PARAMS["default"]
+    for name, preset in DATASET_CONFIGS.items():
+        f = root / "datasets" / f"{name}.cfg"
+        assert f.exists(), f"missing shipped config {f}"
+        assert load_dataset_config(f) == preset
