@@ -243,6 +243,7 @@ def build_tree(
     node = jnp.where(valid, jnp.int32(1), jnp.int32(0))
     frozen = ~valid
     leaf_of = jnp.zeros((N,), jnp.int32)
+    frz_dist = jnp.full((N,), big, dtype)   # |p - leaf mean| at freeze time
     prev_mean_pt = jnp.zeros((N, 3), dtype)  # parent mean: moment shift
 
     # per-node pack handed from a level to its children:
@@ -304,46 +305,33 @@ def build_tree(
             fallback = jnp.where(few[:, None], par_n3, pca_n)
         normal = jnp.where(has_pp[:, None], ppn, fallback)
 
-        # ---- per-point: eigenbasis coordinates, bbox, nearest-to-mean ----
-        packA = jnp.concatenate(
-            [mean, evecs.reshape(sz, 9), k[:, None]], axis=1
-        )  # (sz, 13)
+        # ---- per-point: eigenbasis coordinates and oriented bbox ----
+        packA = jnp.concatenate([mean, evecs.reshape(sz, 9)], axis=1)  # (sz, 12)
         ptA = jnp.take(packA, jnp.minimum(idx, sz - 1), axis=0)
         mean_pt = ptA[:, 0:3]
-        evecs_pt = ptA[:, 3:12].reshape(N, 3, 3)
         d2 = points - mean_pt
-        v = jnp.einsum("nij,ni->nj", evecs_pt, d2)
+        # v = E^T d2, written as three fused (N,3) multiply-adds — a
+        # batched-matvec einsum lowers to a sprawl of (N,1) slice ops here
+        v = (
+            ptA[:, 3:6] * d2[:, 0:1]
+            + ptA[:, 6:9] * d2[:, 1:2]
+            + ptA[:, 9:12] * d2[:, 2:3]
+        )
         dist = jnp.linalg.norm(d2, axis=-1)
 
-        ext = jnp.concatenate([v, dist[:, None], -v], axis=1)  # (N, 7)
-        node_ext = jnp.full((sz, 7), big, dtype).at[idx].min(ext, **kw)
+        ext = jnp.concatenate([v, -v], axis=1)  # (N, 6)
+        node_ext = jnp.full((sz, 6), big, dtype).at[idx].min(ext, **kw)
         vmin = node_ext[:, 0:3]
-        dmin = node_ext[:, 3]
-        vmax = -node_ext[:, 4:7]
+        vmax = -node_ext[:, 3:6]
         extents = jnp.maximum(vmax, 0.0) - jnp.minimum(vmin, 0.0)
         is_real_node = k > 0
         is_leaf_node = is_real_node & (force_leaf | (extents[:, 2] < b_max))
-
-        # nearest-to-mean representative, first-point tie-break
-        # (mad_tree.cpp:76-86): min distance -> min index among equals ->
-        # that point writes itself into the node row
-        packB = jnp.stack([dmin, is_leaf_node.astype(dtype)], axis=1)
-        ptB = jnp.take(packB, jnp.minimum(idx, sz - 1), axis=0)
-        is_near = live & (dist == ptB[:, 0])
-        near_pos = jnp.full((sz,), big_i).at[idx].min(
-            jnp.where(is_near, iota, big_i), **kw
-        )
-        pos_pt = jnp.take(near_pos, jnp.minimum(idx, sz - 1))
-        writer = jnp.where(is_near & (iota == pos_pt), idx, jnp.int32(sz))
-        near_arr = jnp.zeros((sz, 3), dtype).at[writer].set(points, **kw)
-        repr_ = jnp.where(is_leaf_node[:, None], near_arr, mean)
 
         levels.append(
             dict(
                 mean=mean,
                 split=split_dir,
                 normal=normal,
-                repr=repr_,
                 bbox0=extents[:, 0],
                 is_leaf=is_leaf_node,
                 is_real=is_real_node,
@@ -351,9 +339,12 @@ def build_tree(
         )
 
         # ---- per-point updates: freeze new leaves, descend the rest ----
-        leaf_pt = ptB[:, 1] > 0
+        leaf_pt = jnp.take(
+            is_leaf_node.astype(dtype), jnp.minimum(idx, sz - 1)
+        ) > 0
         newly = live & leaf_pt
         leaf_of = jnp.where(newly, node, leaf_of)
+        frz_dist = jnp.where(newly, dist, frz_dist)
         frozen = frozen | newly
         if level < depth:
             go_right = v[:, 2] >= 0
@@ -374,6 +365,23 @@ def build_tree(
         for key in levels[0]
     }
     point_leaf = jnp.where(valid, leaf_of, 0)
+
+    # ---- leaf representatives, resolved once for the whole tree ----
+    # Nearest-to-mean point with first-point tie-break (mad_tree.cpp:76-86):
+    # every point recorded |p - leaf_mean| when it froze, so one arena-wide
+    # min/argmin pass replaces a per-level argmin chain (3 fewer N-row
+    # random-access ops per level).
+    aid = jnp.where(valid, leaf_of, jnp.int32(M))
+    dmin = jnp.full((M,), big, dtype).at[aid].min(frz_dist, **kw)
+    is_near = valid & (frz_dist == jnp.take(dmin, jnp.minimum(aid, M - 1)))
+    near_pos = jnp.full((M,), big_i).at[
+        jnp.where(is_near, aid, jnp.int32(M))
+    ].min(iota, **kw)
+    near_pt = jnp.take(points, jnp.minimum(near_pos, N - 1), axis=0)
+    arena["repr"] = jnp.where(
+        arena["is_leaf"][:, None], near_pt, arena["mean"]
+    )
+
     tree = _pack_tree(arena, M, dtype)
     return tree, point_leaf
 
@@ -488,12 +496,18 @@ def transform_tree(tree: SearchTree, R: jnp.ndarray, t: jnp.ndarray) -> SearchTr
 
     Every ``nav`` panel has the uniform layout ``[position(3),
     direction(3), scalar(2)]`` (descent blocks: mean/split; the payload
-    panel: repr/normal), so the whole table transforms panel-wise in one
-    fused pass.
+    panel: repr/normal), so the whole table transforms as ONE affine map
+    ``nav @ A + c`` with A block-diagonal — a single MXU matmul over the
+    34 MB table instead of 16 strided panel passes.
     """
-    M = tree.nav.shape[-2]
-    panels = tree.nav.reshape(M, 8, 8)
-    pos = panels[..., 0:3] @ R.T + t
-    direc = panels[..., 3:6] @ R.T
-    nav = jnp.concatenate([pos, direc, panels[..., 6:8]], axis=-1)
-    return SearchTree(nav=nav.reshape(M, 64))
+    dtype = tree.nav.dtype
+    A8 = jnp.zeros((8, 8), dtype)
+    A8 = A8.at[0:3, 0:3].set(R.T.astype(dtype))
+    A8 = A8.at[3:6, 3:6].set(R.T.astype(dtype))
+    A8 = A8.at[6, 6].set(1.0)
+    A8 = A8.at[7, 7].set(1.0)
+    A = jnp.kron(jnp.eye(8, dtype=dtype), A8)                 # (64, 64)
+    c8 = jnp.concatenate([jnp.asarray(t, dtype), jnp.zeros((5,), dtype)])
+    c = jnp.tile(c8, 8)                                       # (64,)
+    nav = tree.nav @ A + c
+    return SearchTree(nav=nav)
