@@ -110,3 +110,39 @@ def test_pipeline_deskew_enabled_runs(rng):
     for i, s in enumerate(scans):
         p.compute(i * 0.1, s)
     assert np.isfinite(p.current_pose()).all()
+
+
+def test_realtime_calibration_shrinks_iterations(rng, four_walls):
+    """realtime=True times a synced step and rescales the ICP budget; a
+    fake clock reporting 10x the budget must shrink the iteration count."""
+    p = Pipeline(
+        sensor_hz=10.0, deskew=False, b_max=0.2, rho_ker=0.1, p_th=0.8,
+        b_min=0.1, b_ratio=0.02, num_keyframes=2, realtime=True,
+        n_points=4096, depth=10, max_leaves=2048,
+    )
+    ticks = iter([0.0, 0.95])  # 950 ms step vs 95 ms budget
+    p._now = lambda: next(ticks)
+
+    def scan(i):
+        t = np.array([0.05 * i, 0.0, 0.0])
+        return (four_walls - t).astype(np.float32)
+
+    for i in range(4):
+        p.compute(0.1 * i, scan(i))
+    assert p._rt_calibrated
+    assert 1 <= p.cfg.max_icp_iterations < 15
+    assert p.current_id() == 4  # the calibration scan was still processed
+    assert np.isfinite(p.current_pose()).all()
+
+
+def test_realtime_keeps_iterations_when_within_budget(rng, four_walls):
+    p = Pipeline(
+        sensor_hz=10.0, deskew=False, b_max=0.2, rho_ker=0.1, p_th=0.8,
+        b_min=0.1, b_ratio=0.02, num_keyframes=2, realtime=True,
+        n_points=4096, depth=10, max_leaves=2048,
+    )
+    ticks = iter([0.0, 0.01])  # 10 ms step: well inside budget
+    p._now = lambda: next(ticks)
+    for i in range(4):
+        p.compute(0.1 * i, (four_walls - 0.05 * i).astype(np.float32))
+    assert p.cfg.max_icp_iterations == 15
