@@ -247,10 +247,10 @@ def build_tree(
     prev_mean_pt = jnp.zeros((N, 3), dtype)  # parent mean: moment shift
 
     # per-node pack handed from a level to its children:
-    # [mean(3), pca_n(3), ppn(3), n3(3), bbox0(1), has_pp(1)]
+    # [mean(3), pca_n(3), ppn(3), n3(3), bbox0(1), has_pp(1), is_leaf(1)]
     root_parent = jnp.concatenate(
         [jnp.zeros((1, 12), dtype), jnp.full((1, 1), big, dtype),
-         jnp.zeros((1, 1), dtype)], axis=1
+         jnp.zeros((1, 2), dtype)], axis=1
     )
     prev_pack = root_parent  # level -1 sentinel: shift 0, no pp, no n3
 
@@ -276,6 +276,7 @@ def build_tree(
         par_mean, par_pca = par[:, 0:3], par[:, 3:6]
         par_ppn, par_n3 = par[:, 6:9], par[:, 9:12]
         par_bbox0, par_has_pp = par[:, 12], par[:, 13] > 0
+        par_leaf = par[:, 14] > 0
 
         k = node_mom[:, 9]
         k_safe = jnp.maximum(k, 1.0)
@@ -306,7 +307,14 @@ def build_tree(
         normal = jnp.where(has_pp[:, None], ppn, fallback)
 
         # ---- per-point: eigenbasis coordinates and oriented bbox ----
-        packA = jnp.concatenate([mean, evecs.reshape(sz, 9)], axis=1)  # (sz, 12)
+        # Points of a leaf node "descend" one extra level and retire
+        # there (their child slots are flagged dead via par_leaf), so the
+        # freeze decision rides the one per-point gather of this level —
+        # no separate leaf-flag lookup is needed.
+        packA = jnp.concatenate(
+            [mean, evecs.reshape(sz, 9),
+             par_leaf.astype(dtype)[:, None]], axis=1
+        )  # (sz, 13)
         ptA = jnp.take(packA, jnp.minimum(idx, sz - 1), axis=0)
         mean_pt = ptA[:, 0:3]
         d2 = points - mean_pt
@@ -324,7 +332,7 @@ def build_tree(
         vmin = node_ext[:, 0:3]
         vmax = -node_ext[:, 3:6]
         extents = jnp.maximum(vmax, 0.0) - jnp.minimum(vmin, 0.0)
-        is_real_node = k > 0
+        is_real_node = (k > 0) & ~par_leaf
         is_leaf_node = is_real_node & (force_leaf | (extents[:, 2] < b_max))
 
         levels.append(
@@ -338,24 +346,31 @@ def build_tree(
             )
         )
 
-        # ---- per-point updates: freeze new leaves, descend the rest ----
-        leaf_pt = jnp.take(
-            is_leaf_node.astype(dtype), jnp.minimum(idx, sz - 1)
-        ) > 0
-        newly = live & leaf_pt
-        leaf_of = jnp.where(newly, node, leaf_of)
-        frz_dist = jnp.where(newly, dist, frz_dist)
-        frozen = frozen | newly
+        # ---- per-point updates: retire points whose parent was a leaf;
+        # at the depth cap every surviving point freezes in place ----
+        dead_pt = live & (ptA[:, 12] > 0)
+        leaf_of = jnp.where(dead_pt, node >> 1, leaf_of)
+        frz_dist = jnp.where(
+            dead_pt,
+            jnp.linalg.norm(points - prev_mean_pt, axis=-1),
+            frz_dist,
+        )
+        frozen = frozen | dead_pt
         if level < depth:
             go_right = v[:, 2] >= 0
             node = jnp.where(
-                live & ~newly, 2 * node + go_right.astype(jnp.int32), node
+                live & ~dead_pt, 2 * node + go_right.astype(jnp.int32), node
             )
             prev_mean_pt = jnp.where(live[:, None], mean_pt, prev_mean_pt)
             prev_pack = jnp.concatenate(
                 [mean, pca_n, ppn, n3, extents[:, 0:1],
-                 has_pp.astype(dtype)[:, None]], axis=1
+                 has_pp.astype(dtype)[:, None],
+                 is_leaf_node.astype(dtype)[:, None]], axis=1
             )
+        else:
+            here = live & ~dead_pt
+            leaf_of = jnp.where(here, node, leaf_of)
+            frz_dist = jnp.where(here, dist, frz_dist)
 
     arena = {
         key: jnp.concatenate(
