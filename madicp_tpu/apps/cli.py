@@ -139,9 +139,15 @@ def main(argv=None) -> int:
 
         visualizer = Visualizer()
 
-    estimate_file = open(
-        args.estimate_path / "estimate.txt", "a" if start_scan else "w"
-    )
+    estimate_path = args.estimate_path / "estimate.txt"
+    if start_scan and estimate_path.exists():
+        # poses written after the last checkpoint would be recomputed —
+        # truncate the trajectory to exactly the checkpointed scan count
+        with open(estimate_path) as f:
+            kept = f.readlines()[:start_scan]
+        with open(estimate_path, "w") as f:
+            f.writelines(kept)
+    estimate_file = open(estimate_path, "a" if start_scan else "w")
     lidar_to_base = data_cf.extrinsics
 
     reader = make_reader(fmt, args.data_path, data_cf)

@@ -12,8 +12,10 @@ structures become statically-shaped device arrays:
                                shardable over a ``kf`` mesh axis)
 - frame window (deque of 10) -> ring buffer of stacked arena trees
 - trajectory (for velocity)  -> shifting window of the last SMOOTHING_T poses
-- OpenMP keyframe loop       -> ``vmap`` over the K axis + reduction
-                               (``psum`` over ICI when sharded)
+- OpenMP keyframe loop       -> sequential ``lax.scan`` over the K axis
+                               on-chip (HBM gather locality) + reduction;
+                               ``shard_map`` + ``psum`` over ICI across
+                               chips (parallel/sharded_icp.py)
 
 The reference's anytime-realtime wall-clock break (``pipeline.cpp:166-169``)
 is host control flow by nature; here the iteration count is a static config
@@ -74,7 +76,10 @@ class PipelineConfig:
 
     @property
     def leaves_cap(self) -> int:
-        return self.max_leaves or self.n_points
+        # a tree can never have more leaves than arena rows, and
+        # get_leaves truncates to the arena — a larger cap would give the
+        # matched accumulator a mismatched static shape
+        return min(self.max_leaves or self.n_points, self.arena)
 
     @property
     def arena(self) -> int:
@@ -177,10 +182,22 @@ def initialize_step(
 
 
 def odometry_step(
-    cfg: PipelineConfig, state: PipelineState, points, valid, stamp
+    cfg: PipelineConfig,
+    state: PipelineState,
+    points,
+    valid,
+    stamp,
+    accumulate_fn=None,
 ) -> tuple[PipelineState, StepOutput]:
     """One full odometry step (reference ``Pipeline::compute``,
-    ``pipeline.cpp:125-265``)."""
+    ``pipeline.cpp:125-265``).
+
+    ``accumulate_fn(kf_tree, kf_valid, leaves, X, with_matched)`` may
+    override how one association/accumulation pass over the keyframe map
+    is computed — the kf-sharded path injects a ``shard_map`` + ``psum``
+    version here (parallel/sharded_icp.py) so each device only touches
+    its local keyframes.
+    """
     dtype = cfg.dtype
     hz = jnp.asarray(cfg.sensor_hz, dtype)
 
@@ -212,7 +229,7 @@ def odometry_step(
     # (parallel/sharded_icp.py).
     kf_valid_f = state.kf_valid.astype(dtype)
 
-    def accumulate(X, with_matched: bool):
+    def accumulate_local(X, with_matched: bool):
         """One association+accumulation pass over all keyframes."""
 
         def per_kf(acc, kf):
@@ -236,6 +253,14 @@ def odometry_step(
             acc0 += (jnp.zeros(cfg.leaves_cap, bool),)
         acc, _ = jax.lax.scan(per_kf, acc0, (tuple(state.kf_tree), kf_valid_f))
         return acc
+
+    if accumulate_fn is None:
+        accumulate = accumulate_local
+    else:
+        def accumulate(X, with_matched: bool):
+            return accumulate_fn(
+                state.kf_tree, state.kf_valid, leaves, X, with_matched
+            )
 
     # the reference resets `matched` only before the LAST iteration
     # (pipeline.cpp:172-176), so the inlier ratio and the information
@@ -328,12 +353,13 @@ def odometry_step(
     return new_state, out
 
 
-def _pipeline_step_impl(cfg: PipelineConfig, state: PipelineState, points, valid, stamp):
+def _pipeline_step_impl(cfg: PipelineConfig, state: PipelineState, points, valid, stamp,
+                        accumulate_fn=None):
     """Dispatch: first scan initialises, later scans run full odometry."""
     return jax.lax.cond(
         state.seq == 0,
         lambda: initialize_step(cfg, state, points, valid, stamp),
-        lambda: odometry_step(cfg, state, points, valid, stamp),
+        lambda: odometry_step(cfg, state, points, valid, stamp, accumulate_fn),
     )
 
 

@@ -85,11 +85,14 @@ class VelEstimator:
         self._odometry = [np.asarray(T, dtype=float) for T in odometry]
 
     def one_round(self):
-        n = len(self._odometry)
-        W = max(SMOOTHING_T, n)
+        # only the last <= SMOOTHING_T poses enter the estimate
+        # (vel_estimator.cpp:81-97 via pipeline.cpp:208-217)
+        odometry = self._odometry[-SMOOTHING_T:]
+        n = len(odometry)
+        W = SMOOTHING_T
         traj = np.tile(np.eye(4), (W, 1, 1))
         if n:
-            traj[W - n :] = np.stack(self._odometry)
+            traj[W - n :] = np.stack(odometry)
         self.X = np.asarray(
             estimate_velocity(
                 jnp.asarray(self.X, dtype=self._dtype),

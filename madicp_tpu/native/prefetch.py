@@ -18,6 +18,9 @@ class Prefetcher:
 
     Wraps any of the dataset readers (they yield ``(stamp, points)``).
     Exceptions raised by the reader are re-raised on the consumer side.
+    On early consumer exit (e.g. ``--max-scans``) the producer is told to
+    stop and is joined before the underlying reader is closed, so it
+    never races a closing reader or leaks a blocked thread.
     """
 
     _SENTINEL = object()
@@ -26,6 +29,7 @@ class Prefetcher:
         self._reader = reader
         self._queue: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
 
     def __enter__(self):
         if hasattr(self._reader, "__enter__"):
@@ -35,12 +39,15 @@ class Prefetcher:
         return self
 
     def __exit__(self, exc_type, exc_val, exc_tb):
-        # drain so the producer can observe the sentinel and exit
+        self._stop.set()
+        # unblock a producer stuck on put() and wait for it to finish
+        # BEFORE closing the reader underneath it
         while self._thread is not None and self._thread.is_alive():
             try:
                 self._queue.get_nowait()
             except queue.Empty:
-                break
+                pass
+            self._thread.join(timeout=0.05)
         if hasattr(self._reader, "__exit__"):
             return self._reader.__exit__(exc_type, exc_val, exc_tb)
         return False
@@ -48,11 +55,26 @@ class Prefetcher:
     def _run(self):
         try:
             for item in self._reader:
-                self._queue.put(item)
+                if self._stop.is_set():
+                    return
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(item, timeout=0.05)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:  # surfaced on the consumer side
-            self._queue.put((self._SENTINEL, e))
+            self._put_final((self._SENTINEL, e))
             return
-        self._queue.put((self._SENTINEL, None))
+        self._put_final((self._SENTINEL, None))
+
+    def _put_final(self, item):
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.05)
+                return
+            except queue.Full:
+                continue
 
     def __iter__(self):
         while True:

@@ -1,12 +1,14 @@
 """Segmented associative scans over sorted segment layouts.
 
-The level-synchronous MAD-tree build keeps points sorted by node id, so
-every tree node owns a contiguous run ("segment") of the point array.
-Per-node statistics (moments, oriented bounding boxes, nearest-to-mean
-representatives) are then segmented reductions, which we express as
+General-purpose segmented reductions expressed as
 ``jax.lax.associative_scan`` over ``(flag, value)`` pairs — dense, fully
-vectorised, scatter-free work that XLA maps well onto the VPU. This
-replaces the reference's per-node serial loops (``utils.h:54-97``).
+vectorised, scatter-free work that XLA maps well onto the VPU.
+
+The MAD-tree build originally used these (points sorted by node id =
+contiguous segments per node); it now uses scatter-adds into per-level
+node tables, which measured faster on v5e (no per-level sort). The
+primitives remain as library utilities for segment-structured batch
+work (and are covered by tests/test_segscan.py).
 
 Conventions:
 - ``flags`` marks the FIRST element of each segment (forward scans).

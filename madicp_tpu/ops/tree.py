@@ -4,13 +4,14 @@ The reference builds a pointer-based binary tree by recursive PCA bisection
 with ``std::async`` task parallelism (``mad_tree.cpp:47-130``). On TPU we
 re-design it: the tree is an *implicit heap-indexed arena* of node arrays
 (root at index 1, children of ``i`` at ``2i`` / ``2i+1``), and the build is
-*level-synchronous*: points stay sorted by node id so each node owns a
-contiguous segment, and one fused batch of segmented scans per level
-computes every node's mean/covariance (shifted moments for f32 stability),
-analytic 3x3 eigendecomposition, oriented bounding box, leaf decision,
-plane-predecessor/normal inheritance, representative point and split — for
-all nodes of the level at once. Parallelism is the vector lanes; no task
-forking, no pointers, no dynamic shapes.
+*level-synchronous*: each point carries its node id, and per level one
+scatter-add of shifted moments plus one scatter-min of eigenbasis extents
+computes every node's mean/covariance (f32-stable), analytic 3x3
+eigendecomposition, oriented bounding box, leaf decision and
+plane-predecessor/normal inheritance — for all nodes of the level at
+once, on compact ``(2^level, C)`` arrays that concatenate directly into
+the arena. Parallelism is the vector lanes; no task forking, no
+pointers, no sorting, no dynamic shapes.
 
 Storage is gather-optimised for the search/ICP hot loop. TPU HBM gathers
 cost ~5 ns *per row* independent of row width up to 256 bytes (measured on

@@ -87,20 +87,30 @@ def icp_round_sharded(
 def make_sharded_pipeline_step(cfg: PipelineConfig, mesh: Mesh):
     """Jit the full pipeline step with the keyframe map sharded over ``kf``.
 
-    The step body is the standard single-chip program; GSPMD partitions the
-    vmap-over-keyframes automatically given the state sharding constraints
-    (the einsum over the K axis lowers to a psum over ICI). Use
-    :func:`icp_round_sharded` when explicit collective placement is needed.
+    The ICP accumulation inside the step is replaced by the explicit
+    ``shard_map`` + ``psum`` round (:func:`icp_round_sharded`): each
+    device runs the association against ONLY its local keyframe shard
+    and a 6x6+6 psum per GN round crosses ICI. (Leaving the sequential
+    keyframe scan to GSPMD would instead all-gather the 34 MB node
+    tables every round.) Everything else in the step — tree build,
+    leaf extraction, promotion — is replicated work.
     """
     from madicp_tpu.parallel.mesh import state_shardings
-    from madicp_tpu.models.pipeline import init_state
+    from madicp_tpu.models.pipeline import _pipeline_step_impl, init_state
 
     proto = jax.eval_shape(lambda: init_state(cfg))
     shardings = state_shardings(mesh, proto)
     rep = NamedSharding(mesh, P())
 
+    def sharded_accumulate(kf_tree, kf_valid, leaves, X, with_matched):
+        H, b, matched = icp_round_sharded(
+            mesh, kf_tree, kf_valid, leaves.pts, leaves.valid, X,
+            b_max=cfg.b_max, b_ratio=cfg.b_ratio, rho_ker=cfg.rho_ker,
+        )
+        return (H, b, matched) if with_matched else (H, b)
+
     step = jax.jit(
-        partial(pipeline_step, cfg),
+        partial(_pipeline_step_impl, cfg, accumulate_fn=sharded_accumulate),
         in_shardings=(shardings, rep, rep, rep),
         out_shardings=(shardings, rep),
     )

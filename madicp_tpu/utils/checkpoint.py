@@ -62,7 +62,9 @@ def load_pipeline(path):
             max_icp_iterations=cfg.max_icp_iterations,
             dtype=dtype,
         )
-        proto = init_state(cfg)
+        # eval_shape: the treedef/dtypes without materialising another
+        # ~1 GB state on device (Pipeline.__init__ already made one)
+        proto = jax.eval_shape(lambda: init_state(cfg))
         leaves, treedef = jax.tree.flatten(proto)
         restored = [
             jnp.asarray(z[f"leaf_{i}"], leaves[i].dtype)

@@ -90,10 +90,15 @@ class KittiReader:
     def __next__(self):
         if self.file_index >= len(self.file_names):
             raise StopIteration
-        return self[self.file_index]
+        item = self[self.file_index]
+        self.file_index += 1
+        self.time += self.time_inc
+        return item
 
     def __getitem__(self, item) -> Tuple[float, np.ndarray]:
-        path = self.file_names[self.file_index]
+        """Random access by scan index (timestamps are synthetic at the
+        sensor rate, so ``reader[k]`` is ``((k+1)/hz, points_k)``)."""
+        path = self.file_names[item]
         if self._native is not None:
             pts = self._native.read_bin(
                 path, self.min_range, self.max_range, self.apply_correction
@@ -105,6 +110,4 @@ class KittiReader:
             pts = cloud[(norms >= self.min_range) & (norms <= self.max_range)]
             if self.apply_correction:
                 pts = apply_vertical_correction(pts)
-        self.time += self.time_inc
-        self.file_index += 1
-        return self.time, pts
+        return (item + 1) * self.time_inc, pts

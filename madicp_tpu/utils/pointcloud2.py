@@ -94,9 +94,9 @@ def read_point_cloud(msg, min_range: float, max_range: float) -> Tuple[np.ndarra
     rng = (norms > min_range) & (norms < max_range)
     points = points[rng]
 
-    if t_field:
+    if t_field and points.shape[0] > 0:
         ts = structured[t_field][rng].astype(np.float64)
-        lo, hi = ts.min(initial=0.0), ts.max(initial=1.0)
+        lo, hi = float(ts.min()), float(ts.max())
         ts = (ts - lo) / (hi - lo) if hi > lo else np.ones_like(ts)
     else:
         ts = np.ones(points.shape[0])

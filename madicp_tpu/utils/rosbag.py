@@ -75,7 +75,8 @@ class _RosbagsReaderBase:
         points, _ = read_point_cloud(
             msg, min_range=self.min_range, max_range=self.max_range
         )
-        return timestamp, points
+        # rosbags stamps are nanoseconds; every reader yields SECONDS
+        return timestamp * 1e-9, points
 
 
 class Ros1Reader(_RosbagsReaderBase):

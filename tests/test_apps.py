@@ -91,10 +91,12 @@ def test_cli_checkpoint_resume(tmp_path, rng):
     assert cli_main(["--data-path", str(data), "--estimate-path", str(out_a)]
                     + base) == 0
 
-    # interrupted at 2 scans (checkpoint every scan), then resumed
+    # interrupted at 3 scans with the checkpoint lagging at scan 2: the
+    # resume must truncate the extra pose and recompute it (no duplicates)
     assert cli_main(["--data-path", str(data), "--estimate-path", str(out_b),
-                     "--checkpoint-every", "1", "--max-scans", "2"] + base) == 0
+                     "--checkpoint-every", "2", "--max-scans", "3"] + base) == 0
     assert (out_b / "pipeline.ckpt.npz").exists()
+    assert len(open(out_b / "estimate.txt").readlines()) == 3
     assert cli_main(["--data-path", str(data), "--estimate-path", str(out_b),
                      "--resume"] + base) == 0
 

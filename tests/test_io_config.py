@@ -234,3 +234,35 @@ def test_shipped_config_files_match_presets():
         f = root / "datasets" / f"{name}.cfg"
         assert f.exists(), f"missing shipped config {f}"
         assert load_dataset_config(f) == preset
+
+
+def test_pointcloud2_absolute_timestamps_normalize(rng):
+    """Absolute per-point stamps (e.g. epoch seconds) must normalize to
+    the full [0, 1] sweep, not collapse toward 1 (min/max 'initial='
+    regression)."""
+    pts = rng.normal(size=(64, 3)) * 3 + 5
+    msg = _pc2_msg(pts)
+    # rewrite the time field with large absolute values spanning 0.1 s
+    dt = np.dtype({"names": ["x", "y", "z", "t"],
+                   "formats": ["<f4", "<f4", "<f4", "<u4"],
+                   "offsets": [0, 4, 8, 12], "itemsize": 16})
+    arr = np.frombuffer(bytearray(msg.data), dtype=dt).copy()
+    arr["t"] = np.linspace(1_500_000_000, 1_500_000_100, 64).astype(np.uint32)
+    msg.data = arr.tobytes()
+    _, ts = read_point_cloud(msg, min_range=0.1, max_range=1e3)
+    assert ts.min() == pytest.approx(0.0)
+    assert ts.max() == pytest.approx(1.0)
+    assert ts.std() > 0.2  # spans the sweep, not clamped to ~1
+
+
+def test_kitti_reader_random_access(tmp_path, rng):
+    for i in range(3):
+        rec = rng.normal(size=(50, 4)).astype(np.float32) * 5
+        rec.tofile(tmp_path / f"{i:06d}.bin")
+    r = KittiReader(tmp_path, min_range=0, max_range=1e3, sensor_hz=10.0)
+    t1, p1 = r[1]
+    assert t1 == pytest.approx(0.2)
+    # random access must not disturb iteration state
+    seq = list(r)
+    assert len(seq) == 3
+    np.testing.assert_array_equal(seq[1][1], p1)

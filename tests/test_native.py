@@ -82,3 +82,13 @@ def test_prefetcher_propagates_errors(bin_dir):
     with pytest.raises(RuntimeError, match="boom"):
         with Prefetcher(Boom()) as pf:
             list(pf)
+
+
+def test_prefetcher_early_exit_clean(bin_dir):
+    """Breaking out of iteration must stop and join the producer without
+    draining the whole dataset or leaking a blocked thread."""
+    pf = Prefetcher(KittiReader(bin_dir, 2.0, 80.0, sensor_hz=10.0), depth=1)
+    with pf:
+        for item in pf:
+            break  # early exit after one scan
+    assert pf._thread is not None and not pf._thread.is_alive()

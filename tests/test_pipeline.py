@@ -146,3 +146,19 @@ def test_realtime_keeps_iterations_when_within_budget(rng, four_walls):
     for i in range(4):
         p.compute(0.1 * i, (four_walls - 0.05 * i).astype(np.float32))
     assert p.cfg.max_icp_iterations == 15
+
+
+def test_leaves_cap_clamped_to_arena(rng, four_walls):
+    """n_points larger than the arena (2^(depth+1)) must not crash: the
+    leaf capacity clamps to the arena size (regression: shape mismatch
+    in the matched accumulator on the second scan)."""
+    p = Pipeline(
+        sensor_hz=10.0, deskew=False, b_max=0.2, rho_ker=0.1, p_th=0.8,
+        b_min=0.1, b_ratio=0.02, num_keyframes=2,
+        n_points=2048, depth=9, max_leaves=0,
+    )
+    assert p.cfg.leaves_cap == 2 ** 10
+    for i in range(3):
+        t = np.array([0.05 * i, 0.0, 0.0])
+        p.compute(0.1 * i, (four_walls - t).astype(np.float32))
+    assert np.isfinite(p.current_pose()).all()

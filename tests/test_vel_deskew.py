@@ -120,3 +120,40 @@ def test_deskew_rotation(rng):
     t_expect = -ts / 2
     R = oracle.exp_so3(w * t_expect)
     np.testing.assert_allclose(out[0], R @ pts[0], atol=2e-3)
+
+
+def test_vel_estimator_window_caps_at_smoothing_t():
+    """With more than SMOOTHING_T poses only the last 10 are used
+    (pipeline.cpp:208-217): garbage older poses must not matter."""
+    from madicp_tpu.models.vel_estimator import VelEstimator
+    from madicp_tpu.ops.constants import SMOOTHING_T
+
+    v = np.array([1.0, 0.5, 0.0, 0.0, 0.0, 0.1])
+    ts = 0.1
+
+    def traj(n, garbage_head=0):
+        poses = []
+        T = np.eye(4)
+        for i in range(n):
+            poses.append(T.copy())
+            d = np.eye(4)
+            d[:3, 3] = v[:3] * ts
+            c, s = np.cos(v[5] * ts), np.sin(v[5] * ts)
+            d[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+            T = T @ d
+        for i in range(garbage_head):
+            poses[i] = np.diag([1.0, 1, 1, 1]) * 1  # identity garbage
+            poses[i][:3, 3] = [100.0 + i, -50.0, 9.0]
+        return poses
+
+    a = VelEstimator(10.0)
+    a.init(np.zeros(6))
+    a.set_odometry(traj(SMOOTHING_T))
+    va = a.one_round()
+
+    b = VelEstimator(10.0)
+    b.init(np.zeros(6))
+    b.set_odometry(traj(30, garbage_head=20))  # garbage outside the window
+    vb = b.one_round()
+
+    np.testing.assert_allclose(va, vb, atol=1e-12)
