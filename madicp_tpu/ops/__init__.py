@@ -15,12 +15,15 @@ from madicp_tpu.ops.tree import (  # noqa: F401
     SearchTree,
     build_tree,
     search_tree,
+    search_forest,
+    search_payload,
     get_leaves,
     transform_tree,
     tree_arena_size,
 )
 from madicp_tpu.ops.icp_core import (  # noqa: F401
     icp_terms,
+    icp_terms_packed,
     icp_normal_equations,
     gn_se3_step,
     solve_gn,

@@ -18,3 +18,8 @@ from madicp_tpu.parallel.sharded_icp import (  # noqa: F401
     make_sharded_pipeline_step,
 )
 from madicp_tpu.parallel.fleet import Fleet  # noqa: F401
+from madicp_tpu.parallel.distributed import (  # noqa: F401
+    fleet_mesh,
+    initialize,
+    topology,
+)
