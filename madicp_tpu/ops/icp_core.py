@@ -37,6 +37,81 @@ class IcpTerms(NamedTuple):
     matched: jnp.ndarray  # (L,) bool — gated matches of this fixed tree
 
 
+def associate_packed(
+    nav: jnp.ndarray,
+    base,
+    depth: int,
+    moving_pts_map: jnp.ndarray,
+    moving_valid: jnp.ndarray,
+    start: jnp.ndarray = None,
+    n_gathers: int = None,
+):
+    """Descend one fixed tree for every moving point (already in the map
+    frame) and gather the matched leaf payloads.
+
+    Returns ``(leaf_ids, payload)`` with ``payload`` (L, 8) =
+    ``[f_pt(3), f_n(3), f_bbox0, f_ok]``. ``start``/``n_gathers``
+    warm-start the descent (see ``search_forest``).
+    """
+    leaf = search_forest(
+        nav, moving_pts_map, base, depth, valid=moving_valid,
+        start=start, n_gathers=n_gathers,
+    )
+    payload = jnp.take(
+        nav, jnp.asarray(base, jnp.int32) + leaf, axis=0
+    )[:, 56:64]
+    return leaf, payload
+
+
+def terms_from_payload(
+    payload: jnp.ndarray,
+    moving_pts: jnp.ndarray,
+    moving_valid: jnp.ndarray,
+    X: jnp.ndarray,
+    *,
+    b_max,
+    b_ratio,
+    rho_ker,
+) -> IcpTerms:
+    """Gate + residual/Jacobian/weights + normal equations from an
+    association payload — pure vector math, no tree access.
+
+    The gate re-evaluates under the CURRENT ``X`` (``mad_icp.cpp:81-83``),
+    so reusing a cached payload across consecutive GN rounds (fast mode)
+    still gates stale matches out as the estimate moves.
+    """
+    dtype = moving_pts.dtype
+    R = X[:3, :3]
+    t = X[:3, 3]
+    rho = jnp.sqrt(jnp.asarray(rho_ker, dtype))
+
+    ml = moving_pts @ R.T + t
+    f_pt, f_n = payload[:, 0:3], payload[:, 3:6]
+    f_bbox0, f_ok = payload[:, 6], payload[:, 7] > 0
+
+    # adaptive-radius gate (radius grows with point range)
+    diff = ml - f_pt
+    dist = jnp.linalg.norm(diff, axis=-1)
+    src_ball = b_max + b_ratio * jnp.linalg.norm(moving_pts, axis=-1)
+    matched = (dist <= src_ball) & moving_valid & f_ok
+
+    # residual and analytic Jacobian: with u = R^T n,
+    # J = [u^T, (m x u)^T]  (since -u^T skew(m) = (m x u)^T)
+    e = jnp.sum(diff * f_n, axis=-1)
+    u = f_n @ R
+    J = jnp.concatenate([u, jnp.cross(moving_pts, u)], axis=-1)  # (L, 6)
+
+    chi = jnp.abs(e)
+    scale = jnp.where(chi > rho, rho / jnp.maximum(chi, 1e-30), 1.0)
+    w_plan = jnp.clip(1.0 - f_bbox0 / b_max, 0.0, 1.0)
+    s = scale * w_plan * w_plan * matched.astype(dtype)
+
+    Jw = J * jnp.sqrt(s)[:, None]
+    H = jnp.einsum("li,lj->ij", Jw, Jw, preferred_element_type=dtype)
+    b = jnp.einsum("li,l->i", J, s * e, preferred_element_type=dtype)
+    return IcpTerms(H=H, b=b, matched=matched)
+
+
 def icp_terms_packed(
     nav: jnp.ndarray,
     base,
@@ -60,37 +135,12 @@ def icp_terms_packed(
         X: (4, 4) current moving-to-fixed estimate.
         b_max / b_ratio / rho_ker: solver parameters (``mad_params.py:31-38``).
     """
-    dtype = moving_pts.dtype
-    R = X[:3, :3]
-    t = X[:3, 3]
-    rho = jnp.sqrt(jnp.asarray(rho_ker, dtype))
-
-    ml = moving_pts @ R.T + t
-    leaf = search_forest(nav, ml, base, depth, valid=moving_valid)
-    lf = jnp.take(nav, jnp.asarray(base, jnp.int32) + leaf, axis=0)[:, 56:64]
-    f_pt, f_n, f_bbox0, f_ok = lf[:, 0:3], lf[:, 3:6], lf[:, 6], lf[:, 7] > 0
-
-    # adaptive-radius gate (radius grows with point range)
-    diff = ml - f_pt
-    dist = jnp.linalg.norm(diff, axis=-1)
-    src_ball = b_max + b_ratio * jnp.linalg.norm(moving_pts, axis=-1)
-    matched = (dist <= src_ball) & moving_valid & f_ok
-
-    # residual and analytic Jacobian: with u = R^T n,
-    # J = [u^T, (m x u)^T]  (since -u^T skew(m) = (m x u)^T)
-    e = jnp.sum(diff * f_n, axis=-1)
-    u = f_n @ R
-    J = jnp.concatenate([u, jnp.cross(moving_pts, u)], axis=-1)  # (L, 6)
-
-    chi = jnp.abs(e)
-    scale = jnp.where(chi > rho, rho / jnp.maximum(chi, 1e-30), 1.0)
-    w_plan = jnp.clip(1.0 - f_bbox0 / b_max, 0.0, 1.0)
-    s = scale * w_plan * w_plan * matched.astype(dtype)
-
-    Jw = J * jnp.sqrt(s)[:, None]
-    H = jnp.einsum("li,lj->ij", Jw, Jw, preferred_element_type=dtype)
-    b = jnp.einsum("li,l->i", J, s * e, preferred_element_type=dtype)
-    return IcpTerms(H=H, b=b, matched=matched)
+    ml = moving_pts @ X[:3, :3].T + X[:3, 3]
+    _, payload = associate_packed(nav, base, depth, ml, moving_valid)
+    return terms_from_payload(
+        payload, moving_pts, moving_valid, X,
+        b_max=b_max, b_ratio=b_ratio, rho_ker=rho_ker,
+    )
 
 
 def icp_terms(

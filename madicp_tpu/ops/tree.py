@@ -408,6 +408,8 @@ def search_forest(
     base,
     depth: int,
     valid: Optional[jnp.ndarray] = None,
+    start: Optional[jnp.ndarray] = None,
+    n_gathers: Optional[int] = None,
 ) -> jnp.ndarray:
     """Approximate-NN descent over one tree stored inside a flat forest.
 
@@ -425,15 +427,29 @@ def search_forest(
     One ``nav`` gather yields the current node's whole depth-2 subtree, so
     each loop iteration advances THREE levels; child blocks are picked with
     cheap vector selects instead of further gathers.
+
+    ``start`` (optional, (Q,) int32) warm-starts each query's descent at
+    an interior node instead of the root — used by the fast re-association
+    mode, where round ``r`` restarts from an ancestor of round ``r-1``'s
+    leaf. Out-of-subtree queries then stop at a non-leaf node, whose
+    payload ``ok`` flag is 0 — they simply gate out as unmatched. With
+    ``start``, per-query levels are unknown, so ``n_gathers`` bounds the
+    descent instead of ``depth`` (safe structurally: real nodes at the
+    static depth cap are always leaves, so a descent can never step out
+    of the arena).
     """
     Q = queries.shape[0]
-    n_gathers = -(-depth // 3)
+    known_levels = start is None
+    if n_gathers is None:
+        n_gathers = -(-depth // 3)
     # padding queries start (and stay) at the unreal row 0: their gathers
     # all hit one hot cache line instead of random-walking the table
-    if valid is None:
+    if start is None:
         node0 = jnp.ones((Q,), jnp.int32)
     else:
-        node0 = valid.astype(jnp.int32)
+        node0 = jnp.maximum(start, 1)
+    if valid is not None:
+        node0 = node0 * valid.astype(jnp.int32)
     base = jnp.asarray(base, jnp.int32)
 
     def gather_step(g, node):
@@ -441,7 +457,7 @@ def search_forest(
         blk = row[:, 0:8]
         b1 = jnp.zeros((Q,), bool)
         for s in range(3):
-            active = (g * 3 + s) < depth
+            active = (g * 3 + s) < depth if known_levels else True
             side = jnp.sum((queries - blk[:, 0:3]) * blk[:, 3:6], -1) >= 0
             flags = blk[:, 7]
             leaf = (flags == 1.0) | (flags == 3.0)
@@ -488,16 +504,23 @@ def get_leaves(tree: SearchTree, max_leaves: int) -> Leaves:
     Leaf order is arena (breadth-first) order — the MAD-ICP math is
     order-invariant (sums over leaves), unlike the reference's DFS
     ``getLeafs`` (``mad_tree.cpp:154-163``) whose order is also unused.
+    Compaction is a cumsum + row scatter (no sort: an argsort over the
+    arena lowers to an expensive while-loop on TPU); leaves beyond the
+    capacity are dropped in arena order.
     """
     flag = tree.nav[..., 63] > 0
-    order = jnp.argsort(~flag, stable=True)
-    ids = order[:max_leaves]
-    lf = jnp.take(tree.nav, ids, axis=0)[:, 56:64]
+    pos = jnp.cumsum(flag.astype(jnp.int32)) - 1
+    idx = jnp.where(flag, pos, max_leaves)
+    out = jnp.zeros((max_leaves, 8), tree.nav.dtype).at[idx].set(
+        tree.nav[:, 56:64], mode="drop"
+    )
+    count = jnp.sum(flag.astype(jnp.int32))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (max_leaves, 1), 0)[:, 0]
     return Leaves(
-        pts=lf[:, 0:3],
-        normal=lf[:, 3:6],
-        bbox0=lf[:, 6],
-        valid=jnp.take(flag, ids),
+        pts=out[:, 0:3],
+        normal=out[:, 3:6],
+        bbox0=out[:, 6],
+        valid=iota < count,
     )
 
 

@@ -162,3 +162,75 @@ def test_leaves_cap_clamped_to_arena(rng, four_walls):
         t = np.array([0.05 * i, 0.0, 0.0])
         p.compute(0.1 * i, (four_walls - t).astype(np.float32))
     assert np.isfinite(p.current_pose()).all()
+
+
+import pytest
+
+
+@pytest.mark.parametrize("every,backup", [(2, 0), (4, 0), (2, 6)])
+def test_fast_assoc_matches_exact_trajectory(rng, every, backup):
+    """assoc_mode="fast" (periodic re-descents + cached rounds in
+    between, optionally warm-started) must land trajectory-level on top
+    of the exact full-re-association schedule: same scene, same scans,
+    pose gap at the millimetre scale."""
+    scans, _ = synthetic_room_scans(rng, n_scans=6, step=0.06)
+    pe = _make_pipeline(assoc_mode="exact")
+    pf = _make_pipeline(
+        assoc_mode="fast", reassoc_every=every, reassoc_backup=backup
+    )
+    for i, s in enumerate(scans):
+        pe.compute(i * 0.1, s)
+        pf.compute(i * 0.1, s)
+    Xe, Xf = pe.current_pose(), pf.current_pose()
+    assert np.linalg.norm(Xe[:3, 3] - Xf[:3, 3]) < 5e-3
+    assert np.abs(Xe[:3, :3] - Xf[:3, :3]).max() < 1e-3
+    assert abs(pe.inlier_ratio() - pf.inlier_ratio()) < 0.05
+
+
+def test_fast_assoc_tracks_motion(rng):
+    """Fast mode passes the same absolute accuracy bar as exact mode."""
+    scans, gt = synthetic_room_scans(rng, n_scans=6, step=0.06)
+    p = _make_pipeline(assoc_mode="fast")
+    T0 = gt[0]
+    for i, scan in enumerate(scans):
+        p.compute(i * 0.1, scan)
+    rel_gt = np.linalg.inv(T0) @ gt[-1]
+    assert np.linalg.norm(p.current_pose()[:3, 3] - rel_gt[:3, 3]) < 0.05
+
+
+def test_fast_assoc_single_iteration(rng):
+    """n_its == 1 takes the dedicated fast-mode branch (full descent, one
+    GN step, matched flags from that round)."""
+    scans, _ = synthetic_room_scans(rng, n_scans=3, step=0.04)
+    p = _make_pipeline(assoc_mode="fast", max_icp_iterations=1)
+    for i, s in enumerate(scans):
+        p.compute(i * 0.1, s)
+    assert np.isfinite(p.current_pose()).all()
+    assert 0.0 < p.inlier_ratio() <= 1.0
+
+
+def test_compute_batch_matches_sequential(rng):
+    """One chunked dispatch == the same scans fed one by one."""
+    scans, _ = synthetic_room_scans(rng, n_scans=5, step=0.05)
+    stamps = [0.1 * i for i in range(5)]
+    pseq = _make_pipeline()
+    for t, s in zip(stamps, scans):
+        pseq.compute(t, s)
+    pchunk = _make_pipeline()
+    poses = pchunk.compute_batch(stamps, scans)
+    assert poses.shape == (5, 4, 4)
+    np.testing.assert_allclose(poses[-1], pseq.current_pose(), atol=1e-12)
+    np.testing.assert_allclose(
+        pchunk.current_pose(), pseq.current_pose(), atol=1e-12
+    )
+    assert pchunk.current_id() == pseq.current_id() == 5
+    assert abs(pchunk.inlier_ratio() - pseq.inlier_ratio()) < 1e-9
+
+
+def test_compute_batch_refuses_uncalibrated_realtime(rng):
+    import pytest
+
+    scans, _ = synthetic_room_scans(rng, n_scans=2)
+    p = _make_pipeline(realtime=True)
+    with pytest.raises(RuntimeError):
+        p.compute_batch([0.0, 0.1], scans)

@@ -224,3 +224,43 @@ def test_single_and_two_point_nodes(rng):
         elif src.npts == 2:
             pair = src_pts[1] - src_pts[0]
             assert abs(n @ pair) / np.linalg.norm(pair) < 1e-9
+
+
+def test_warm_start_search_refinds_leaves(rng, four_walls):
+    """A descent warm-started at an ancestor of the true leaf (fast
+    re-association mode) must re-find exactly that leaf when the query
+    did not move."""
+    from madicp_tpu.ops.tree import search_forest
+
+    pts = four_walls
+    tree, _, _ = _build(pts, 0.2, 0.1, depth=14)
+    queries = jnp.asarray(pts[rng.integers(0, len(pts), 256)])
+    full = search_tree(tree, queries)
+    backup = 6
+    warm = search_forest(
+        tree.nav, queries, 0, 14,
+        start=full >> backup, n_gathers=-(-backup // 3) + 1,
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(warm))
+
+
+def test_warm_start_search_tracks_small_motion(rng, four_walls):
+    """Warm-started re-descent after a small query perturbation agrees
+    with the full descent for (nearly) all queries — the fast-mode
+    premise. Mismatches may only occur for queries within the
+    perturbation of a shallow split plane."""
+    from madicp_tpu.ops.tree import search_forest
+
+    pts = four_walls
+    tree, _, _ = _build(pts, 0.2, 0.1, depth=14)
+    q0 = pts[rng.integers(0, len(pts), 512)]
+    prev = search_tree(tree, jnp.asarray(q0))
+    q1 = jnp.asarray(q0 + rng.normal(size=q0.shape) * 0.002)
+    full = search_tree(tree, q1)
+    backup = 6
+    warm = search_forest(
+        tree.nav, q1, 0, 14,
+        start=prev >> backup, n_gathers=-(-backup // 3) + 1,
+    )
+    agree = np.mean(np.asarray(full) == np.asarray(warm))
+    assert agree > 0.97, f"warm/full agreement {agree}"
