@@ -199,67 +199,49 @@ def initialize_step(
     return state, out
 
 
-def odometry_step(
+def icp_rounds(
     cfg: PipelineConfig,
-    state: PipelineState,
-    points,
-    valid,
-    stamp,
-    accumulate_fn=None,
-) -> tuple[PipelineState, StepOutput]:
-    """One full odometry step (reference ``Pipeline::compute``,
-    ``pipeline.cpp:125-265``).
+    kf_tree: SearchTree,
+    kf_valid_f: jnp.ndarray,
+    leaves_pts: jnp.ndarray,
+    leaves_valid: jnp.ndarray,
+    X0: jnp.ndarray,
+    reduce_terms=None,
+):
+    """Run the full GN round schedule over a (possibly local) keyframe set.
 
-    ``accumulate_fn(kf_tree, kf_valid, leaves, X, with_matched)`` may
-    override how one association/accumulation pass over the keyframe map
-    is computed — the kf-sharded path injects a ``shard_map`` + ``psum``
-    version here (parallel/sharded_icp.py) so each device only touches
-    its local keyframes.
+    This is the reference's ICP loop (``pipeline.cpp:166-193``) for both
+    association schedules (see ``PipelineConfig.assoc_mode``). Keyframes
+    are processed with a sequential ``lax.scan`` rather than a vmap: the
+    descent gathers then hit one keyframe's ~34 MB node table at a time
+    instead of interleaving across the whole ring (measures ~4x faster
+    on v5e). The per-keyframe reduction is the OpenMP-adder analog
+    (``mad_icp.cpp:100-110``).
+
+    ``reduce_terms`` completes the reduction across devices when the
+    keyframe axis is sharded: it receives the locally-accumulated
+    ``(H, b)`` or ``(H, b, matched)`` tuple and must return the globally
+    reduced one (psum / any-reduce over the mesh axis); identity by
+    default. The keyframe count is taken from the (local) array shapes,
+    NOT from ``cfg.num_keyframes``.
+
+    Returns ``(X, H_last, matched)``; ``matched`` flags come from the
+    final round only, like the reference (``pipeline.cpp:172-176``).
     """
     dtype = cfg.dtype
-    hz = jnp.asarray(cfg.sensor_hz, dtype)
+    if reduce_terms is None:
+        reduce_terms = lambda t: t  # noqa: E731
+    K = kf_valid_f.shape[0]
+    L = leaves_pts.shape[0]
 
-    # ---- deskew (pipeline.cpp:137-138, 79-123) ----
-    if cfg.deskew:
-        do = state.traj_count >= 2
-        skewed = deskew_cloud(points, state.traj[-2], state.traj[-1], hz)
-        points = jnp.where(do, skewed, points)
-
-    # ---- current-scan tree (pipeline.cpp:140-144) ----
-    tree, _ = build_tree(
-        points, valid, depth=cfg.depth, b_max=cfg.b_max, b_min=cfg.b_min
-    )
-    leaves = get_leaves(tree, cfg.leaves_cap)
-
-    # ---- constant-velocity prediction (pipeline.cpp:146-152) ----
-    X0 = state.X @ exp_se3_split(state.velocity / hz)
-
-    # ---- ICP rounds over the keyframe map (pipeline.cpp:166-193) ----
-    # Keyframes are processed with a sequential lax.scan rather than a
-    # vmap: the descent gathers then hit one keyframe's ~34 MB node table
-    # at a time instead of interleaving across the whole ring, which
-    # measures ~4x faster on v5e — HBM gather cost grows with the gather
-    # operand size, so one big (K*M, 64) forest table is NOT an option
-    # (measured ~10x slower) and the per-keyframe dynamic-slice the scan
-    # makes is the cheaper evil. The reduction over keyframes is the
-    # OpenMP-adder analog (mad_icp.cpp:100-110); under kf-sharding each
-    # device scans its local keyframes and a psum completes the sum
-    # (parallel/sharded_icp.py).
-    kf_valid_f = state.kf_valid.astype(dtype)
-
-    def accumulate_local(X, with_matched: bool):
-        """One association+accumulation pass over all keyframes."""
+    def accumulate(X, with_matched: bool):
+        """One full association+accumulation pass (exact schedule)."""
 
         def per_kf(acc, kf):
             tree_fields, v = kf
             terms = icp_terms(
-                SearchTree(*tree_fields),
-                leaves.pts,
-                leaves.valid,
-                X,
-                b_max=cfg.b_max,
-                b_ratio=cfg.b_ratio,
-                rho_ker=cfg.rho_ker,
+                SearchTree(*tree_fields), leaves_pts, leaves_valid, X,
+                b_max=cfg.b_max, b_ratio=cfg.b_ratio, rho_ker=cfg.rho_ker,
             )
             out = (acc[0] + terms.H * v, acc[1] + terms.b * v)
             if with_matched:
@@ -268,46 +250,36 @@ def odometry_step(
 
         acc0 = (jnp.zeros((6, 6), dtype), jnp.zeros((6,), dtype))
         if with_matched:
-            acc0 += (jnp.zeros(cfg.leaves_cap, bool),)
-        acc, _ = jax.lax.scan(per_kf, acc0, (tuple(state.kf_tree), kf_valid_f))
-        return acc
-
-    if accumulate_fn is None:
-        accumulate = accumulate_local
-    else:
-        def accumulate(X, with_matched: bool):
-            return accumulate_fn(
-                state.kf_tree, state.kf_valid, leaves, X, with_matched
-            )
+            acc0 += (jnp.zeros(L, bool),)
+        acc, _ = jax.lax.scan(per_kf, acc0, (tuple(kf_tree), kf_valid_f))
+        return reduce_terms(acc)
 
     # ---- fast association schedule (see PipelineConfig.assoc_mode) ----
     # Per-keyframe association state carried across rounds: leaf ids
-    # (K, L) and gathered payloads (K, L, 8). Warm re-descents restart at
-    # ``ids >> reassoc_backup``; frozen rounds are pure vector math.
-    use_fast = cfg.assoc_mode == "fast" and accumulate_fn is None
+    # (K, L) and gathered payloads (K, L, 8). Re-descents restart from
+    # the root (or ``reassoc_backup`` levels above the previous leaf);
+    # frozen rounds are pure vector math.
     warm = cfg.reassoc_backup > 0
     warm_gathers = -(-cfg.reassoc_backup // 3) + 1
 
     def assoc_scan(X, prev_ids):
         """(Re-)associate against every keyframe; prev_ids None => full."""
-        ml = leaves.pts @ X[:3, :3].T + X[:3, 3]
+        ml = leaves_pts @ X[:3, :3].T + X[:3, 3]
         full = prev_ids is None or not warm
         if prev_ids is None:
-            prev_ids = jnp.zeros((cfg.num_keyframes, cfg.leaves_cap), jnp.int32)
+            prev_ids = jnp.zeros((K, L), jnp.int32)
 
         def per_kf(_, kf):
             tree_fields, prev = kf
             nav = SearchTree(*tree_fields).nav
             ids, payload = associate_packed(
-                nav, 0, cfg.depth, ml, leaves.valid,
+                nav, 0, cfg.depth, ml, leaves_valid,
                 start=None if full else prev >> cfg.reassoc_backup,
                 n_gathers=None if full else warm_gathers,
             )
             return 0, (ids, payload)
 
-        _, (ids, payload) = jax.lax.scan(
-            per_kf, 0, (tuple(state.kf_tree), prev_ids)
-        )
+        _, (ids, payload) = jax.lax.scan(per_kf, 0, (tuple(kf_tree), prev_ids))
         return ids, payload
 
     def terms_scan(X, payload, with_matched: bool):
@@ -319,7 +291,7 @@ def odometry_step(
         """
         terms = jax.vmap(
             lambda pl: terms_from_payload(
-                pl, leaves.pts, leaves.valid, X,
+                pl, leaves_pts, leaves_valid, X,
                 b_max=cfg.b_max, b_ratio=cfg.b_ratio, rho_ker=cfg.rho_ker,
             )
         )(payload)
@@ -329,15 +301,15 @@ def odometry_step(
             matched = jnp.any(
                 terms.matched & (kf_valid_f > 0)[:, None], axis=0
             )
-            return H, b, matched
-        return H, b
+            return reduce_terms((H, b, matched))
+        return reduce_terms((H, b))
 
     # the reference resets `matched` only before the LAST iteration
     # (pipeline.cpp:172-176), so the inlier ratio and the information
     # weight come from the final association/H only — earlier rounds
     # skip that bookkeeping entirely.
     n_its = cfg.max_icp_iterations
-    if n_its > 0 and use_fast:
+    if n_its > 0 and cfg.assoc_mode == "fast":
         ids, payload = assoc_scan(X0, None)  # round 0: full descent
         if n_its == 1:
             H_last, b_last, matched = terms_scan(X0, payload, True)
@@ -373,7 +345,55 @@ def odometry_step(
     else:
         X = X0
         H_last = jnp.zeros((6, 6), dtype)
-        matched = jnp.zeros(cfg.leaves_cap, bool)
+        matched = jnp.zeros(L, bool)
+    return X, H_last, matched
+
+
+def odometry_step(
+    cfg: PipelineConfig,
+    state: PipelineState,
+    points,
+    valid,
+    stamp,
+    icp_rounds_fn=None,
+) -> tuple[PipelineState, StepOutput]:
+    """One full odometry step (reference ``Pipeline::compute``,
+    ``pipeline.cpp:125-265``).
+
+    ``icp_rounds_fn(kf_tree, kf_valid, leaves, X0) -> (X, H_last,
+    matched)`` may override the whole ICP round loop — the kf-sharded
+    path injects a ``shard_map`` + ``psum`` version (built on the same
+    :func:`icp_rounds`) so each device only touches its local keyframe
+    shard (parallel/sharded_icp.py).
+    """
+    dtype = cfg.dtype
+    hz = jnp.asarray(cfg.sensor_hz, dtype)
+
+    # ---- deskew (pipeline.cpp:137-138, 79-123) ----
+    if cfg.deskew:
+        do = state.traj_count >= 2
+        skewed = deskew_cloud(points, state.traj[-2], state.traj[-1], hz)
+        points = jnp.where(do, skewed, points)
+
+    # ---- current-scan tree (pipeline.cpp:140-144) ----
+    tree, _ = build_tree(
+        points, valid, depth=cfg.depth, b_max=cfg.b_max, b_min=cfg.b_min
+    )
+    leaves = get_leaves(tree, cfg.leaves_cap)
+
+    # ---- constant-velocity prediction (pipeline.cpp:146-152) ----
+    X0 = state.X @ exp_se3_split(state.velocity / hz)
+
+    # ---- ICP rounds over the keyframe map (pipeline.cpp:166-193) ----
+    if icp_rounds_fn is None:
+        X, H_last, matched = icp_rounds(
+            cfg, state.kf_tree, state.kf_valid.astype(dtype),
+            leaves.pts, leaves.valid, X0,
+        )
+    else:
+        X, H_last, matched = icp_rounds_fn(
+            state.kf_tree, state.kf_valid, leaves, X0
+        )
 
     # ---- inlier ratio over final-round matches (pipeline.cpp:197-204) ----
     n_leaves = jnp.sum(leaves.valid)
@@ -463,12 +483,12 @@ def odometry_step(
 
 
 def _pipeline_step_impl(cfg: PipelineConfig, state: PipelineState, points, valid, stamp,
-                        accumulate_fn=None):
+                        icp_rounds_fn=None):
     """Dispatch: first scan initialises, later scans run full odometry."""
     return jax.lax.cond(
         state.seq == 0,
         lambda: initialize_step(cfg, state, points, valid, stamp),
-        lambda: odometry_step(cfg, state, points, valid, stamp, accumulate_fn),
+        lambda: odometry_step(cfg, state, points, valid, stamp, icp_rounds_fn),
     )
 
 

@@ -87,30 +87,52 @@ def icp_round_sharded(
 def make_sharded_pipeline_step(cfg: PipelineConfig, mesh: Mesh):
     """Jit the full pipeline step with the keyframe map sharded over ``kf``.
 
-    The ICP accumulation inside the step is replaced by the explicit
-    ``shard_map`` + ``psum`` round (:func:`icp_round_sharded`): each
-    device runs the association against ONLY its local keyframe shard
-    and a 6x6+6 psum per GN round crosses ICI. (Leaving the sequential
+    The whole ICP round loop inside the step runs under one ``shard_map``
+    (:func:`madicp_tpu.models.pipeline.icp_rounds` with a psum reduction
+    hook): each device runs the association — in either association
+    schedule, exact or fast — against ONLY its local keyframe shard, and
+    a 6x6+6 psum per GN round crosses ICI. (Leaving the sequential
     keyframe scan to GSPMD would instead all-gather the 34 MB node
     tables every round.) Everything else in the step — tree build,
     leaf extraction, promotion — is replicated work.
     """
     from madicp_tpu.parallel.mesh import state_shardings
-    from madicp_tpu.models.pipeline import _pipeline_step_impl, init_state
+    from madicp_tpu.models.pipeline import (
+        _pipeline_step_impl,
+        icp_rounds,
+        init_state,
+    )
 
     proto = jax.eval_shape(lambda: init_state(cfg))
     shardings = state_shardings(mesh, proto)
     rep = NamedSharding(mesh, P())
 
-    def sharded_accumulate(kf_tree, kf_valid, leaves, X, with_matched):
-        H, b, matched = icp_round_sharded(
-            mesh, kf_tree, kf_valid, leaves.pts, leaves.valid, X,
-            b_max=cfg.b_max, b_ratio=cfg.b_ratio, rho_ker=cfg.rho_ker,
-        )
-        return (H, b, matched) if with_matched else (H, b)
+    def psum_terms(t):
+        out = (jax.lax.psum(t[0], "kf"), jax.lax.psum(t[1], "kf"))
+        if len(t) == 3:
+            out += (jax.lax.psum(t[2].astype(jnp.int32), "kf") > 0,)
+        return out
+
+    def sharded_rounds(kf_tree, kf_valid, leaves, X0):
+        def local(kf_tree, kf_valid, leaves_pts, leaves_valid, X0):
+            return icp_rounds(
+                cfg, kf_tree, kf_valid.astype(cfg.dtype),
+                leaves_pts, leaves_valid, X0, reduce_terms=psum_terms,
+            )
+
+        kf_spec = jax.tree.map(lambda _: P("kf"), kf_tree)
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(kf_spec, P("kf"), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            # descent carries start replicated and become kf-varying;
+            # skip the static vma check (equivalence covered by tests)
+            check_vma=False,
+        )(kf_tree, kf_valid, leaves.pts, leaves.valid, X0)
 
     step = jax.jit(
-        partial(_pipeline_step_impl, cfg, accumulate_fn=sharded_accumulate),
+        partial(_pipeline_step_impl, cfg, icp_rounds_fn=sharded_rounds),
         in_shardings=(shardings, rep, rep, rep),
         out_shardings=(shardings, rep),
     )

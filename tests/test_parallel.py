@@ -133,3 +133,30 @@ def test_fleet_without_mesh(rng):
         np.zeros(2), jnp.stack([pts, pts]), jnp.stack([valid, valid])
     )
     assert out.pose.shape == (2, 4, 4)
+
+
+def test_sharded_pipeline_matches_unsharded_fast(rng):
+    """The kf-sharded step supports the fast association schedule: each
+    device runs the full round schedule (periodic re-descents + cached
+    rounds) on its keyframe shard, psum-reducing (H, b) per round."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, assoc_mode="fast", reassoc_every=4)
+    scans, _ = synthetic_room_scans(rng, n_scans=4, n_points=1200, step=0.05)
+    mesh = make_mesh(kf=4, seq=2)
+
+    step_s, place = make_sharded_pipeline_step(cfg, mesh)
+    state_s = place(init_state(cfg))
+    state_u = init_state(cfg)
+
+    for i, scan in enumerate(scans):
+        pts, valid = _pad(scan, cfg.n_points)
+        stamp = jnp.asarray(float(i), cfg.dtype)
+        state_s, out_s = step_s(state_s, pts, valid, stamp)
+        state_u, out_u = pipeline_step(cfg, state_u, pts, valid, stamp)
+        np.testing.assert_allclose(
+            np.asarray(out_s.pose), np.asarray(out_u.pose), atol=1e-9
+        )
+    np.testing.assert_allclose(
+        np.asarray(state_s.X), np.asarray(state_u.X), atol=1e-9
+    )
