@@ -134,7 +134,7 @@ class StepOutput(NamedTuple):
 
 def _empty_tree(cfg: PipelineConfig, lead: tuple = ()) -> SearchTree:
     M = cfg.arena
-    return SearchTree(nav=jnp.zeros(lead + (M, 64), cfg.dtype))
+    return SearchTree(nav=jnp.zeros(lead + (M, 56), cfg.dtype))
 
 
 def init_state(cfg: PipelineConfig) -> PipelineState:

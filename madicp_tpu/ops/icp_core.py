@@ -47,20 +47,19 @@ def associate_packed(
     n_gathers: int = None,
 ):
     """Descend one fixed tree for every moving point (already in the map
-    frame) and gather the matched leaf payloads.
+    frame); the descent's final block IS the matched leaf's payload
+    (leaf blocks carry the surfel, see ops/tree.py) — no separate
+    payload gather.
 
     Returns ``(leaf_ids, payload)`` with ``payload`` (L, 8) =
-    ``[f_pt(3), f_n(3), f_bbox0, f_ok]``. ``start``/``n_gathers``
-    warm-start the descent (see ``search_forest``).
+    ``[f_pt(3), f_n(3), f_bbox0, flags]`` (``flags == 3`` marks a real
+    leaf match). ``start``/``n_gathers`` warm-start the descent (see
+    ``search_forest``).
     """
-    leaf = search_forest(
+    return search_forest(
         nav, moving_pts_map, base, depth, valid=moving_valid,
-        start=start, n_gathers=n_gathers,
+        start=start, n_gathers=n_gathers, return_blocks=True,
     )
-    payload = jnp.take(
-        nav, jnp.asarray(base, jnp.int32) + leaf, axis=0
-    )[:, 56:64]
-    return leaf, payload
 
 
 def terms_from_payload(
@@ -87,7 +86,7 @@ def terms_from_payload(
 
     ml = moving_pts @ R.T + t
     f_pt, f_n = payload[:, 0:3], payload[:, 3:6]
-    f_bbox0, f_ok = payload[:, 6], payload[:, 7] > 0
+    f_bbox0, f_ok = payload[:, 6], payload[:, 7] == 3.0
 
     # adaptive-radius gate (radius grows with point range)
     diff = ml - f_pt
@@ -127,7 +126,7 @@ def icp_terms_packed(
     """Normal-equation contribution of one fixed tree inside a flat forest.
 
     Args:
-        nav: flat stacked arena(s), e.g. ``(K*M, 64)``.
+        nav: flat stacked arena(s), e.g. ``(K*M, 56)``.
         base: (traced) row offset of the keyframe's arena in the forest.
         depth: static tree depth (descent iteration count).
         moving_pts: (L, 3) moving leaf representatives, in the *local* frame.

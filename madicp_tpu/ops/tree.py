@@ -17,17 +17,23 @@ Storage is gather-optimised for the search/ICP hot loop. TPU HBM gathers
 cost ~5 ns *per row* independent of row width up to 256 bytes (measured on
 v5e), so the tree is stored as:
 
-- ``nav`` (M, 64): per node, the packed 8-float descent blocks
-  ``[mean(3), split(3), kids, flags]`` of its **depth-2 subtree** — itself,
-  both children and all four grandchildren (7 blocks) — plus an 8th block
-  holding the node's leaf payload ``[repr(3), normal(3), bbox0, ok]``.
-  One gather therefore advances a query THREE levels, cutting the number
-  of random-access rows per descent by ~10x versus per-field gathers, and
-  the payload rides in the same row (one extra gather at descent end, no
-  second table to slice per keyframe).
+- ``nav`` (M, 56): per node, the packed 8-float descent blocks of its
+  **depth-2 subtree** — itself, both children and all four grandchildren
+  (7 blocks). One gather therefore advances a query THREE levels, cutting
+  the number of random-access rows per descent by ~10x versus per-field
+  gathers.
+
+A block is ``[mean(3), split(3), kids, flags]`` for an interior node but
+``[repr(3), normal(3), bbox0, flags]`` for a LEAF — a leaf's mean/split
+are never used for stepping (descent stops on its flags), so its block
+slots carry the surfel payload instead, *everywhere the leaf appears*
+(its own panel 0 and its parent/grandparent child panels). A descent
+therefore ends holding the matched leaf's payload in-register: no
+separate payload gather, no payload panel.
 
 ``kids`` encodes child existence (left + 2*right); ``flags`` encodes
-``is_leaf + 2*is_real``.
+``is_leaf + 2*is_real`` (0 = unreal, 2 = interior, 3 = real leaf — a
+leaf is always real).
 
 Algorithmic contracts reproduced from the reference (see SURVEY.md §2.1):
 - leaf criterion: largest oriented extent ``bbox[2] < b_max``
@@ -66,35 +72,38 @@ class SearchTree(NamedTuple):
     The node dimension is ``M = 2 ** (depth + 1)``; index 0 is unused,
     the root is index 1, children of ``i`` live at ``2i``/``2i+1``.
     ``nav[n]`` holds the descent blocks of n's depth-2 subtree in panels
-    0-6 and the leaf payload in panel 7 (see module docstring).
+    0-6; a leaf's block carries its surfel payload (see module
+    docstring), so ``mean``/``split`` of a LEAF row read as the
+    representative point / inherited normal.
     """
 
-    nav: jnp.ndarray  # (M, 64)
+    nav: jnp.ndarray  # (M, 56)
 
-    # -- reference-field views (panels of nav) ----------------------------
+    # -- reference-field views (panel 0 of nav) ---------------------------
     @property
     def mean(self) -> jnp.ndarray:
+        """Interior rows: node mean. Leaf rows: representative point."""
         return self.nav[..., 0:3]
 
     @property
     def split(self) -> jnp.ndarray:
+        """Interior rows: split direction. Leaf rows: surfel normal."""
         return self.nav[..., 3:6]
 
     @property
-    def surfel(self) -> jnp.ndarray:
-        return self.nav[..., 56:64]
-
-    @property
     def repr(self) -> jnp.ndarray:
-        return self.nav[..., 56:59]
+        """Leaf representative point (valid where ``is_leaf``)."""
+        return self.nav[..., 0:3]
 
     @property
     def normal(self) -> jnp.ndarray:
-        return self.nav[..., 59:62]
+        """Leaf surfel normal (valid where ``is_leaf``)."""
+        return self.nav[..., 3:6]
 
     @property
     def bbox0(self) -> jnp.ndarray:
-        return self.nav[..., 62]
+        """Leaf smallest oriented extent (valid where ``is_leaf``)."""
+        return self.nav[..., 6]
 
     @property
     def is_leaf(self) -> jnp.ndarray:
@@ -156,15 +165,24 @@ def _pack_tree(arena: dict, M: int, dtype) -> SearchTree:
 
     All child/grandchild panels are strided views of the block table
     (children of ``i`` are rows ``2i``/``2i+1``), so packing is dense
-    reshape/concat work — no scatters, no gathers.
+    reshape/concat work — no scatters, no gathers. Leaf blocks carry the
+    surfel payload in place of the (unused for stepping) mean/split.
     """
-    flags = arena["is_leaf"].astype(dtype) + 2.0 * arena["is_real"].astype(dtype)
+    leaf = arena["is_leaf"] & arena["is_real"]
+    flags = leaf.astype(dtype) + 2.0 * arena["is_real"].astype(dtype)
     real_pairs = arena["is_real"].astype(dtype).reshape(M // 2, 2)
     kids_half = real_pairs[:, 0] + 2.0 * real_pairs[:, 1]
     kids = jnp.concatenate([kids_half, jnp.zeros((M - M // 2,), dtype)])
 
+    lf = leaf[:, None]
     B = jnp.concatenate(
-        [arena["mean"], arena["split"], kids[:, None], flags[:, None]], axis=1
+        [
+            jnp.where(lf, arena["repr"], arena["mean"]),
+            jnp.where(lf, arena["normal"], arena["split"]),
+            jnp.where(leaf, arena["bbox0"], kids)[:, None],
+            flags[:, None],
+        ],
+        axis=1,
     )  # (M, 8)
 
     def strided(k: int, j: int) -> jnp.ndarray:
@@ -172,11 +190,6 @@ def _pack_tree(arena: dict, M: int, dtype) -> SearchTree:
         rows = B.reshape(M // k, k, 8)[:, j]
         return jnp.concatenate([rows, jnp.zeros((M - M // k, 8), dtype)], axis=0)
 
-    ok = (arena["is_leaf"] & arena["is_real"]).astype(dtype)
-    surfel = jnp.concatenate(
-        [arena["repr"], arena["normal"], arena["bbox0"][:, None], ok[:, None]],
-        axis=1,
-    )
     nav = jnp.concatenate(
         [
             B,                 # panel 0: self
@@ -186,7 +199,6 @@ def _pack_tree(arena: dict, M: int, dtype) -> SearchTree:
             strided(4, 1),
             strided(4, 2),
             strided(4, 3),
-            surfel,            # panel 7: this node's leaf payload
         ],
         axis=1,
     )
@@ -410,7 +422,8 @@ def search_forest(
     valid: Optional[jnp.ndarray] = None,
     start: Optional[jnp.ndarray] = None,
     n_gathers: Optional[int] = None,
-) -> jnp.ndarray:
+    return_blocks: bool = False,
+):
     """Approximate-NN descent over one tree stored inside a flat forest.
 
     ``nav`` is a stacked flat table (e.g. all keyframe arenas reshaped to
@@ -432,16 +445,27 @@ def search_forest(
     an interior node instead of the root — used by the fast re-association
     mode, where round ``r`` restarts from an ancestor of round ``r-1``'s
     leaf. Out-of-subtree queries then stop at a non-leaf node, whose
-    payload ``ok`` flag is 0 — they simply gate out as unmatched. With
-    ``start``, per-query levels are unknown, so ``n_gathers`` bounds the
-    descent instead of ``depth`` (safe structurally: real nodes at the
-    static depth cap are always leaves, so a descent can never step out
-    of the arena).
+    block ``flags`` read interior — they simply gate out as unmatched.
+    With ``start``, per-query levels are unknown, so ``n_gathers`` bounds
+    the descent instead of ``depth`` (safe structurally: real nodes at
+    the static depth cap are always leaves, so a descent can never step
+    out of the arena). A query entering a leaf on the LAST substep of
+    the LAST warm gather keeps a stale (interior) block and reads
+    unmatched — conservative, and impossible on the root-descent path
+    (the gather count leaves one follow-up gather after any third-substep
+    leaf entry).
+
+    With ``return_blocks=True`` returns ``(leaf_ids, blocks)`` where
+    ``blocks`` (Q, 8) is the final node's descent block — for a leaf,
+    its surfel payload ``[repr(3), normal(3), bbox0, flags]``.
     """
     Q = queries.shape[0]
     known_levels = start is None
     if n_gathers is None:
-        n_gathers = -(-depth // 3)
+        # depth//3 + 1 (not ceil): when depth % 3 == 0, the deepest leaf
+        # is entered on a third substep, whose block isn't in the row —
+        # the extra gather re-fetches it (panel 0 = its payload)
+        n_gathers = depth // 3 + 1
     # padding queries start (and stay) at the unreal row 0: their gathers
     # all hit one hot cache line instead of random-walking the table
     if start is None:
@@ -452,15 +476,16 @@ def search_forest(
         node0 = node0 * valid.astype(jnp.int32)
     base = jnp.asarray(base, jnp.int32)
 
-    def gather_step(g, node):
-        row = jnp.take(nav, base + node, axis=0)  # (Q, 64)
+    def gather_step(g, carry):
+        node, _ = carry
+        row = jnp.take(nav, base + node, axis=0)  # (Q, 56)
         blk = row[:, 0:8]
         b1 = jnp.zeros((Q,), bool)
         for s in range(3):
             active = (g * 3 + s) < depth if known_levels else True
             side = jnp.sum((queries - blk[:, 0:3]) * blk[:, 3:6], -1) >= 0
             flags = blk[:, 7]
-            leaf = (flags == 1.0) | (flags == 3.0)
+            leaf = flags == 3.0
             real = flags >= 2.0
             kids = blk[:, 6]
             has = jnp.where(side, kids >= 2.0, (kids == 1.0) | (kids == 3.0))
@@ -477,9 +502,13 @@ def search_forest(
                 hi = jnp.where(side[:, None], row[:, 48:56], row[:, 40:48])
                 child = jnp.where(b1[:, None], hi, lo)
                 blk = jnp.where(step[:, None], child, blk)
-        return node
+        return node, blk
 
-    return jax.lax.fori_loop(0, n_gathers, gather_step, node0)
+    blk0 = jnp.zeros((Q, 8), nav.dtype)
+    node, blk = jax.lax.fori_loop(0, n_gathers, gather_step, (node0, blk0))
+    if return_blocks:
+        return node, blk
+    return node
 
 
 def search_tree(tree: SearchTree, queries: jnp.ndarray, depth: Optional[int] = None) -> jnp.ndarray:
@@ -492,10 +521,12 @@ def search_tree(tree: SearchTree, queries: jnp.ndarray, depth: Optional[int] = N
 def search_payload(tree: SearchTree, leaf_ids: jnp.ndarray):
     """Gather the leaf payload for descent results in one packed row read.
 
+    (The descent itself already returns the payload via
+    ``return_blocks=True``; this is the standalone lookup.)
     Returns ``(pts, normals, bbox0, ok)``.
     """
-    lf = jnp.take(tree.nav, leaf_ids, axis=0)[:, 56:64]
-    return lf[:, 0:3], lf[:, 3:6], lf[:, 6], lf[:, 7] > 0
+    lf = jnp.take(tree.nav, leaf_ids, axis=0)[:, 0:8]
+    return lf[:, 0:3], lf[:, 3:6], lf[:, 6], lf[:, 7] == 3.0
 
 
 def get_leaves(tree: SearchTree, max_leaves: int) -> Leaves:
@@ -508,11 +539,11 @@ def get_leaves(tree: SearchTree, max_leaves: int) -> Leaves:
     arena lowers to an expensive while-loop on TPU); leaves beyond the
     capacity are dropped in arena order.
     """
-    flag = tree.nav[..., 63] > 0
+    flag = tree.nav[..., 7] == 3.0
     pos = jnp.cumsum(flag.astype(jnp.int32)) - 1
     idx = jnp.where(flag, pos, max_leaves)
     out = jnp.zeros((max_leaves, 8), tree.nav.dtype).at[idx].set(
-        tree.nav[:, 56:64], mode="drop"
+        tree.nav[:, 0:8], mode="drop"
     )
     count = jnp.sum(flag.astype(jnp.int32))
     iota = jax.lax.broadcasted_iota(jnp.int32, (max_leaves, 1), 0)[:, 0]
@@ -525,7 +556,7 @@ def get_leaves(tree: SearchTree, max_leaves: int) -> Leaves:
 
 
 def count_leaves(tree: SearchTree) -> jnp.ndarray:
-    return jnp.sum(tree.nav[..., 63] > 0)
+    return jnp.sum(tree.nav[..., 7] == 3.0)
 
 
 def transform_tree(tree: SearchTree, R: jnp.ndarray, t: jnp.ndarray) -> SearchTree:
@@ -534,10 +565,10 @@ def transform_tree(tree: SearchTree, R: jnp.ndarray, t: jnp.ndarray) -> SearchTr
     anchor/representative points. Oriented extents are rotation-invariant.
 
     Every ``nav`` panel has the uniform layout ``[position(3),
-    direction(3), scalar(2)]`` (descent blocks: mean/split; the payload
-    panel: repr/normal), so the whole table transforms as ONE affine map
-    ``nav @ A + c`` with A block-diagonal — a single MXU matmul over the
-    34 MB table instead of 16 strided panel passes.
+    direction(3), scalar(2)]`` (interior blocks: mean/split; leaf
+    blocks: repr/normal), so the whole table transforms as ONE affine
+    map ``nav @ A + c`` with A block-diagonal — a single MXU matmul over
+    the ~29 MB table instead of strided panel passes.
     """
     dtype = tree.nav.dtype
     A8 = jnp.zeros((8, 8), dtype)
@@ -545,8 +576,8 @@ def transform_tree(tree: SearchTree, R: jnp.ndarray, t: jnp.ndarray) -> SearchTr
     A8 = A8.at[3:6, 3:6].set(R.T.astype(dtype))
     A8 = A8.at[6, 6].set(1.0)
     A8 = A8.at[7, 7].set(1.0)
-    A = jnp.kron(jnp.eye(8, dtype=dtype), A8)                 # (64, 64)
+    A = jnp.kron(jnp.eye(7, dtype=dtype), A8)                 # (56, 56)
     c8 = jnp.concatenate([jnp.asarray(t, dtype), jnp.zeros((5,), dtype)])
-    c = jnp.tile(c8, 8)                                       # (64,)
+    c = jnp.tile(c8, 7)                                       # (56,)
     nav = tree.nav @ A + c
     return SearchTree(nav=nav)
