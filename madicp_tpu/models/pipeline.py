@@ -44,6 +44,7 @@ from madicp_tpu.ops.icp_core import (
 )
 from madicp_tpu.ops.lie import exp_se3_split
 from madicp_tpu.ops.tree import (
+    NAV_WIDTH,
     SearchTree,
     build_tree,
     get_leaves,
@@ -92,6 +93,20 @@ class PipelineConfig:
     reassoc_every: int = 2
     reassoc_backup: int = 0
 
+    def __post_init__(self):
+        if self.assoc_mode not in ("exact", "fast"):
+            raise ValueError(
+                f"assoc_mode must be 'exact' or 'fast', got {self.assoc_mode!r}"
+            )
+        if self.reassoc_every < 1:
+            raise ValueError(
+                f"reassoc_every must be >= 1, got {self.reassoc_every}"
+            )
+        if self.reassoc_backup < 0:
+            raise ValueError(
+                f"reassoc_backup must be >= 0, got {self.reassoc_backup}"
+            )
+
     @property
     def leaves_cap(self) -> int:
         # a tree can never have more leaves than arena rows, and
@@ -134,7 +149,7 @@ class StepOutput(NamedTuple):
 
 def _empty_tree(cfg: PipelineConfig, lead: tuple = ()) -> SearchTree:
     M = cfg.arena
-    return SearchTree(nav=jnp.zeros(lead + (M, 56), cfg.dtype))
+    return SearchTree(nav=jnp.zeros(lead + (M, NAV_WIDTH), cfg.dtype))
 
 
 def init_state(cfg: PipelineConfig) -> PipelineState:
@@ -213,7 +228,7 @@ def icp_rounds(
     This is the reference's ICP loop (``pipeline.cpp:166-193``) for both
     association schedules (see ``PipelineConfig.assoc_mode``). Keyframes
     are processed with a sequential ``lax.scan`` rather than a vmap: the
-    descent gathers then hit one keyframe's ~34 MB node table at a time
+    descent gathers then hit one keyframe's ~29 MB node table at a time
     instead of interleaving across the whole ring (measures ~4x faster
     on v5e). The per-keyframe reduction is the OpenMP-adder analog
     (``mad_icp.cpp:100-110``).
@@ -262,10 +277,10 @@ def icp_rounds(
     warm = cfg.reassoc_backup > 0
     warm_gathers = -(-cfg.reassoc_backup // 3) + 1
 
-    def assoc_scan(X, prev_ids):
+    def assoc_scan(X, prev_ids, force_full: bool = False):
         """(Re-)associate against every keyframe; prev_ids None => full."""
         ml = leaves_pts @ X[:3, :3].T + X[:3, 3]
-        full = prev_ids is None or not warm
+        full = prev_ids is None or not warm or force_full
         if prev_ids is None:
             prev_ids = jnp.zeros((K, L), jnp.int32)
 
@@ -331,7 +346,11 @@ def icp_rounds(
             X, ids, payload = jax.lax.fori_loop(
                 1, n_its - 1, one_round, (X1, ids, payload)
             )
-            ids, payload = assoc_scan(X, ids)  # final: fresh associations
+            # final round: a FULL fresh re-descent even with warm-started
+            # intermediate rounds — the matched mask / inlier ratio and
+            # the H_last information weight must not inherit warm-descent
+            # truncation (out-of-reach queries reading unmatched)
+            ids, payload = assoc_scan(X, ids, force_full=True)
             H_last, b_last, matched = terms_scan(X, payload, True)
             X = gn_se3_step(X, H_last, b_last)
     elif n_its > 0:
@@ -418,7 +437,7 @@ def odometry_step(
     fr_head = (state.fr_head + 1) % FRAME_WINDOW
 
     # ---- keyframe promotion (pipeline.cpp:234-262) ----
-    # The tree datapath (a 34 MB window-slot gather + ring write) lives
+    # The tree datapath (a ~29 MB window-slot gather + ring write) lives
     # under a lax.cond: most scans do not promote, and the skip branch
     # aliases the rings instead of copying them.
     promote = ratio < cfg.p_th
@@ -606,8 +625,11 @@ class Pipeline:
         land in the same accessors as ``compute`` (holding the LAST scan
         of the chunk); returns the (C, 4, 4) chunk poses.
 
-        Not available with ``realtime=True`` (the anytime budget is a
-        per-scan host decision); raises in that case.
+        With ``realtime=True`` the anytime budget is a per-scan host
+        decision, so chunking is refused until the one-time calibration
+        has completed (run a few scans through ``compute`` first); after
+        calibration the budget lives in the static iteration count and
+        chunking is safe.
         """
         if self.realtime and not self._rt_calibrated:
             raise RuntimeError(

@@ -128,6 +128,9 @@ class Leaves(NamedTuple):
     valid: jnp.ndarray   # (L,) bool
 
 
+NAV_WIDTH = 56  # 7 blocks x 8 floats (self, 2 children, 4 grandchildren)
+
+
 def tree_arena_size(depth: int) -> int:
     return 2 ** (depth + 1)
 
@@ -427,9 +430,10 @@ def search_forest(
     """Approximate-NN descent over one tree stored inside a flat forest.
 
     ``nav`` is a stacked flat table (e.g. all keyframe arenas reshaped to
-    ``(K*M, 64)``) and ``base`` the (traced) row offset of the target tree.
+    ``(K*M, NAV_WIDTH)``) and ``base`` the (traced) row offset of the
+    target tree.
     Indexing into the flat table instead of dynamic-slicing one tree out
-    keeps a keyframe loop free of 34 MB slice copies while each gather
+    keeps a keyframe loop free of ~29 MB slice copies while each gather
     still touches only that tree's rows (HBM gather cost tracks the hot
     footprint, not the operand size). Returns LOCAL heap leaf ids.
 
@@ -462,10 +466,13 @@ def search_forest(
     Q = queries.shape[0]
     known_levels = start is None
     if n_gathers is None:
-        # depth//3 + 1 (not ceil): when depth % 3 == 0, the deepest leaf
-        # is entered on a third substep, whose block isn't in the row —
-        # the extra gather re-fetches it (panel 0 = its payload)
-        n_gathers = depth // 3 + 1
+        n_gathers = -(-depth // 3)
+        if return_blocks and depth % 3 == 0:
+            # when depth % 3 == 0 the deepest leaf is entered on a third
+            # substep, whose block isn't in the gathered row — one extra
+            # gather re-fetches it (panel 0 = its payload). Id-only
+            # descents don't need it: ids are final after ceil(depth/3).
+            n_gathers += 1
     # padding queries start (and stay) at the unreal row 0: their gathers
     # all hit one hot cache line instead of random-walking the table
     if start is None:

@@ -40,6 +40,12 @@ def icp_round_sharded(
 ):
     """One association+accumulation round with the keyframe axis sharded.
 
+    Standalone single-round utility (building block / reference for the
+    collective layout). The full pipeline does NOT call this per round —
+    :func:`make_sharded_pipeline_step` wraps the whole round schedule
+    (``models.pipeline.icp_rounds``) in one ``shard_map``; keep gate or
+    weight changes in ``ops.icp_core``, which both paths share.
+
     Returns globally-reduced ``(H, b, matched)``; ``matched`` is the any-
     keyframe match mask of the moving leaves (an OR-reduction over ``kf``).
     """
@@ -92,7 +98,7 @@ def make_sharded_pipeline_step(cfg: PipelineConfig, mesh: Mesh):
     hook): each device runs the association — in either association
     schedule, exact or fast — against ONLY its local keyframe shard, and
     a 6x6+6 psum per GN round crosses ICI. (Leaving the sequential
-    keyframe scan to GSPMD would instead all-gather the 34 MB node
+    keyframe scan to GSPMD would instead all-gather the ~29 MB node
     tables every round.) Everything else in the step — tree build,
     leaf extraction, promotion — is replicated work.
     """

@@ -61,7 +61,14 @@ def load_pipeline(path):
             max_leaves=cfg.max_leaves,
             max_icp_iterations=cfg.max_icp_iterations,
             dtype=dtype,
+            assoc_mode=cfg.assoc_mode,
+            reassoc_every=cfg.reassoc_every,
+            reassoc_backup=cfg.reassoc_backup,
         )
+        # the ctor args above cover the public surface; assign the fully
+        # parsed config as well so NO field can silently fall back to a
+        # default if the ctor signature lags behind PipelineConfig
+        pipe.cfg = cfg
         # eval_shape: the treedef/dtypes without materialising another
         # ~1 GB state on device (Pipeline.__init__ already made one)
         proto = jax.eval_shape(lambda: init_state(cfg))

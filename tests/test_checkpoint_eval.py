@@ -113,3 +113,34 @@ def test_evaluate_cli_json(tmp_path, capsys):
         "--ground-truth", str(tmp_path / "gt.txt"),
     ])
     assert rc == -1
+
+
+def test_checkpoint_preserves_assoc_schedule(tmp_path, rng, four_walls):
+    """Regression: the loader used to rebuild the Pipeline without the
+    association-schedule fields, silently resuming fast-mode runs in
+    exact mode."""
+    p = Pipeline(
+        sensor_hz=10.0, deskew=False, b_max=0.2, rho_ker=0.1, p_th=0.8,
+        b_min=0.1, b_ratio=0.02, num_keyframes=2,
+        n_points=2048, depth=10, max_leaves=1024,
+        assoc_mode="fast", reassoc_every=5, reassoc_backup=3,
+    )
+    p.compute(0.0, _scan(rng, four_walls, 0))
+    f = tmp_path / "ck.npz"
+    save_pipeline(f, p)
+    q = load_pipeline(f)
+    assert q.cfg.assoc_mode == "fast"
+    assert q.cfg.reassoc_every == 5
+    assert q.cfg.reassoc_backup == 3
+    assert q.cfg == p.cfg
+
+
+def test_config_validation():
+    from madicp_tpu.models.pipeline import PipelineConfig
+
+    with pytest.raises(ValueError):
+        PipelineConfig(assoc_mode="sloppy")
+    with pytest.raises(ValueError):
+        PipelineConfig(reassoc_every=0)
+    with pytest.raises(ValueError):
+        PipelineConfig(reassoc_backup=-1)
