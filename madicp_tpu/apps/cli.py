@@ -162,10 +162,18 @@ def main(argv=None) -> int:
     lidar_to_base = data_cf.extrinsics
 
     reader = make_reader(fmt, args.data_path, data_cf)
+    staged = False
     if not args.no_prefetch:
         from madicp_tpu.native.prefetch import Prefetcher
 
-        reader = Prefetcher(reader)
+        def _stage(item):
+            # producer thread: pad + start the host->device transfer so
+            # it overlaps the previous scan's device step
+            ts, points = item
+            return (ts, *pipeline.stage(points))
+
+        reader = Prefetcher(reader, transform=_stage)
+        staged = True
 
     profile_ctx = None
     if args.profile is not None:
@@ -179,7 +187,8 @@ def main(argv=None) -> int:
     budget_ms = 1000.0 / data_cf.sensor_hz
     with reader:
         t_read = time.perf_counter()
-        for ts, points in reader:
+        for item in reader:
+            ts = item[0]
             if n_scans < start_scan:  # resume: skip already-processed scans
                 n_scans += 1
                 t_read = time.perf_counter()
@@ -187,7 +196,10 @@ def main(argv=None) -> int:
             read_ms = (time.perf_counter() - t_read) * 1000
 
             t0 = time.perf_counter()
-            pipeline.compute(ts, points)
+            if staged:
+                pipeline.compute_device(*item)
+            else:
+                pipeline.compute(ts, item[1])
             lidar_to_world = pipeline.current_pose()
             odom_ms = (time.perf_counter() - t0) * 1000
 

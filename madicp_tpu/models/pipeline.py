@@ -603,8 +603,22 @@ class Pipeline:
         count is rescaled so the step fits the budget; the step is then
         re-jitted once with the new static count.
         """
+        self.compute_device(stamp, *self.stage(points))
+
+    def stage(self, points: np.ndarray):
+        """Pad a cloud and start its host->device transfer.
+
+        Returns device arrays for :meth:`compute_device`. Call from a
+        prefetch thread to overlap the (measured ~9 ms/scan on a
+        tunneled TPU host) input transfer with the previous scan's
+        device step.
+        """
         pts, valid = self._pad(points)
-        pts, valid = jnp.asarray(pts), jnp.asarray(valid)
+        return jnp.asarray(pts), jnp.asarray(valid)
+
+    def compute_device(self, stamp: float, pts, valid) -> None:
+        """Process a scan already padded and staged on device (see
+        :meth:`stage`); otherwise identical to :meth:`compute`."""
         if not self._rt_calibrated and self._rt_scans >= 2:
             self._calibrate_realtime(pts, valid, stamp)
             self._rt_scans += 1

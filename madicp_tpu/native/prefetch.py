@@ -25,11 +25,16 @@ class Prefetcher:
 
     _SENTINEL = object()
 
-    def __init__(self, reader, depth: int = 4):
+    def __init__(self, reader, depth: int = 4, transform=None):
+        """``transform(item) -> item`` runs on the PRODUCER thread — use
+        it to stage work off the consumer's critical path (e.g.
+        ``Pipeline.stage`` to pad + start the host->device transfer of
+        each scan, overlapping it with the previous device step)."""
         self._reader = reader
         self._queue: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
+        self._transform = transform
 
     def __enter__(self):
         if hasattr(self._reader, "__enter__"):
@@ -57,6 +62,8 @@ class Prefetcher:
             for item in self._reader:
                 if self._stop.is_set():
                     return
+                if self._transform is not None:
+                    item = self._transform(item)
                 while not self._stop.is_set():
                     try:
                         self._queue.put(item, timeout=0.05)

@@ -92,3 +92,23 @@ def test_prefetcher_early_exit_clean(bin_dir):
         for item in pf:
             break  # early exit after one scan
     assert pf._thread is not None and not pf._thread.is_alive()
+
+
+def test_prefetcher_transform_runs_on_producer():
+    """The transform hook stages items on the producer thread."""
+    import threading
+
+    from madicp_tpu.native.prefetch import Prefetcher
+
+    main_thread = threading.get_ident()
+    seen_threads = []
+
+    def xf(item):
+        seen_threads.append(threading.get_ident())
+        return (item[0], item[1] * 2)
+
+    items = [(i, float(i)) for i in range(5)]
+    with Prefetcher(iter(items), transform=xf) as pf:
+        out = list(pf)
+    assert out == [(i, 2.0 * i) for i in range(5)]
+    assert all(t != main_thread for t in seen_threads)

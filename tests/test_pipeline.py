@@ -234,3 +234,15 @@ def test_compute_batch_refuses_uncalibrated_realtime(rng):
     p = _make_pipeline(realtime=True)
     with pytest.raises(RuntimeError):
         p.compute_batch([0.0, 0.1], scans)
+
+
+def test_compute_device_matches_compute(rng):
+    """stage() + compute_device() is the same computation as compute()."""
+    scans, _ = synthetic_room_scans(rng, n_scans=4, step=0.05)
+    pa = _make_pipeline()
+    pb = _make_pipeline()
+    for i, s in enumerate(scans):
+        pa.compute(i * 0.1, s)
+        pb.compute_device(i * 0.1, *pb.stage(s))
+    np.testing.assert_array_equal(pa.current_pose(), pb.current_pose())
+    assert pa.current_id() == pb.current_id()
