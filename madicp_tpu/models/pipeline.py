@@ -520,6 +520,19 @@ _pipeline_step_donated = jax.jit(
     _pipeline_step_impl, static_argnames=("cfg",), donate_argnums=(1,)
 )
 
+# The host API dispatches the first-scan bootstrap and the odometry step
+# as SEPARATE jits (a host-side branch on a Python flag): wrapping both
+# in one lax.cond makes every later scan carry the initialize branch and
+# its cond-boundary handling of the donated rings. The cond-based
+# _pipeline_step_impl remains for traced contexts (compute_batch's scan,
+# the sharded step).
+_initialize_step_donated = jax.jit(
+    initialize_step, static_argnames=("cfg",), donate_argnums=(1,)
+)
+_odometry_step_donated = jax.jit(
+    odometry_step, static_argnames=("cfg",), donate_argnums=(1,)
+)
+
 
 def _pipeline_chunk_impl(cfg: PipelineConfig, state: PipelineState,
                          stamps, pts, valid):
@@ -585,6 +598,8 @@ class Pipeline:
         self.realtime = bool(realtime)
         self.state = init_state(self.cfg)
         self._last: Optional[StepOutput] = None
+        # host-side first-scan flag (see _dispatch_step)
+        self._initialized = False
         # anytime-realtime calibration (see compute())
         self._rt_scans = 0
         self._rt_calibrated = not self.realtime
@@ -623,10 +638,22 @@ class Pipeline:
             self._calibrate_realtime(pts, valid, stamp)
             self._rt_scans += 1
             return
-        self.state, self._last = _pipeline_step_donated(
-            self.cfg, self.state, pts, valid, jnp.asarray(stamp, self.cfg.dtype)
-        )
+        self._dispatch_step(pts, valid, stamp)
         self._rt_scans += 1
+
+    def _dispatch_step(self, pts, valid, stamp) -> None:
+        """Host-side first-scan/odometry branch (see the jit notes above
+        ``_initialize_step_donated``)."""
+        stamp = jnp.asarray(stamp, self.cfg.dtype)
+        if self._initialized:
+            self.state, self._last = _odometry_step_donated(
+                self.cfg, self.state, pts, valid, stamp
+            )
+        else:
+            self.state, self._last = _initialize_step_donated(
+                self.cfg, self.state, pts, valid, stamp
+            )
+            self._initialized = True
 
     def compute_batch(self, stamps, clouds) -> np.ndarray:
         """Process a chunk of scans in ONE device dispatch.
@@ -664,6 +691,7 @@ class Pipeline:
             jnp.asarray(val),
         )
         self._last = jax.tree.map(lambda a: a[-1], outs)
+        self._initialized = True  # the chunk's traced cond bootstrapped
         self._rt_scans += C
         return np.asarray(outs.pose)
 
@@ -674,9 +702,7 @@ class Pipeline:
         now = self._now or _time.perf_counter
         jax.device_get(self.state.X)  # drain the queue
         t0 = now()
-        self.state, self._last = _pipeline_step_donated(
-            self.cfg, self.state, pts, valid, jnp.asarray(stamp, self.cfg.dtype)
-        )
+        self._dispatch_step(pts, valid, stamp)
         jax.device_get(self.state.X)
         step_s = now() - t0
 

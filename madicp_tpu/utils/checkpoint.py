@@ -78,6 +78,8 @@ def load_pipeline(path):
             for i in range(len(leaves))
         ]
         pipe.state = jax.tree.unflatten(treedef, restored)
+        # restore the host-side first-scan flag from the restored state
+        pipe._initialized = int(np.asarray(pipe.state.seq)) > 0
     return pipe
 
 
