@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "trajectory-level identical)")
     p.add_argument("--reassoc-every", type=int, default=7,
                    help="fast mode: rounds between full re-descents")
+    p.add_argument("--no-certify", action="store_true",
+                   help="exact mode: disable the certified re-association "
+                        "(skip provably-unchanged descents; result-"
+                        "identical, several-fold faster)")
     p.add_argument("--max-scans", type=int, default=0,
                    help="stop after this many scans (0 = all)")
     p.add_argument("--no-prefetch", action="store_true",
@@ -142,6 +146,7 @@ def main(argv=None) -> int:
             max_leaves=args.max_leaves,
             assoc_mode=args.assoc_mode,
             reassoc_every=args.reassoc_every,
+            certify=not args.no_certify,
         )
 
     visualizer = None
@@ -185,6 +190,7 @@ def main(argv=None) -> int:
 
     n_scans = 0
     budget_ms = 1000.0 / data_cf.sensor_hz
+    ckpt_thread = None
     with reader:
         t_read = time.perf_counter()
         for item in reader:
@@ -210,6 +216,14 @@ def main(argv=None) -> int:
                 f"(budget {budget_ms:.0f} ms)  "
                 f"inliers {pipeline.inlier_ratio():.2f}"
             )
+            dropped = pipeline.leaves_dropped()
+            if dropped:
+                print(
+                    f"warning: scan {pipeline.current_id()} exceeded the "
+                    f"leaf capacity by {dropped} leaves — raise "
+                    f"--max-leaves (map and inlier ratio are truncated)",
+                    file=sys.stderr,
+                )
 
             if visualizer is not None:
                 if pipeline.is_map_updated():
@@ -227,11 +241,18 @@ def main(argv=None) -> int:
             n_scans += 1
             if args.checkpoint_every and n_scans % args.checkpoint_every == 0:
                 estimate_file.flush()
-                save_pipeline(ckpt, pipeline)
+                if ckpt_thread is not None:
+                    ckpt_thread.join()  # never two writers on the same file
+                # snapshot synchronously, write on a background thread so
+                # the (multi-second at flagship scale) file IO stays off
+                # the per-scan critical path
+                ckpt_thread = save_pipeline(ckpt, pipeline, background=True)
             if args.max_scans and n_scans >= args.max_scans:
                 break
             t_read = time.perf_counter()
 
+    if ckpt_thread is not None:
+        ckpt_thread.join()
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
         print(f"profiler trace written to {args.profile}")

@@ -64,6 +64,10 @@ class PipelineConfig:
 
     sensor_hz: float = 10.0
     deskew: bool = False
+    # "reference" = the reference's literal once-per-point azimuth-bin
+    # advance (pipeline.cpp:109-122), vectorised via sort + prefix-min;
+    # "binned" = pure binning, sort-free (identical on bin-dense sweeps)
+    deskew_mode: str = "reference"
     b_max: float = 0.2
     rho_ker: float = 0.1
     p_th: float = 0.8
@@ -92,8 +96,26 @@ class PipelineConfig:
     assoc_mode: str = "exact"
     reassoc_every: int = 2
     reassoc_backup: int = 0
+    # Certified re-association (exact mode only). The exact schedule
+    # re-associates every moving leaf against every keyframe every GN
+    # round (pipeline.cpp:166-193). With certify=True each descent also
+    # records the minimum |distance to a split plane| along its path
+    # (ops/tree.py search_forest return_margin); on later rounds an
+    # entry whose accumulated pose motion bound ||dt|| + theta*||m|| is
+    # strictly below that margin PROVABLY descends to the same leaf, so
+    # its HBM gathers are skipped (parked on the hot row-0 cache line)
+    # and its cached payload reused — the round is still a true
+    # re-association, just with the provably-unchanged lookups elided.
+    # Result-identical to certify=False (tests/test_pipeline.py pins
+    # equality); typically several-fold fewer gather rows per scan once
+    # the GN estimate starts converging.
+    certify: bool = True
 
     def __post_init__(self):
+        if self.deskew_mode not in ("reference", "binned"):
+            raise ValueError(
+                f"deskew_mode must be 'reference' or 'binned', got {self.deskew_mode!r}"
+            )
         if self.assoc_mode not in ("exact", "fast"):
             raise ValueError(
                 f"assoc_mode must be 'exact' or 'fast', got {self.assoc_mode!r}"
@@ -145,6 +167,11 @@ class StepOutput(NamedTuple):
     n_leaves: jnp.ndarray       # () int32 — real leaves of the current scan
     leaves_pts: jnp.ndarray     # (L,3) current leaves in the map frame
     leaves_valid: jnp.ndarray   # (L,)
+    # leaves beyond the static capacity, dropped in arena order; the
+    # reference never drops (mad_tree.cpp:154-163) — nonzero means the
+    # configured max_leaves is too small for this scene and the map /
+    # inlier bookkeeping is running on a truncated leaf set
+    n_leaves_dropped: jnp.ndarray  # () int32
 
 
 def _empty_tree(cfg: PipelineConfig, lead: tuple = ()) -> SearchTree:
@@ -210,6 +237,9 @@ def initialize_step(
         n_leaves=jnp.sum(leaves.valid).astype(jnp.int32),
         leaves_pts=leaves.pts,
         leaves_valid=leaves.valid,
+        n_leaves_dropped=jnp.maximum(
+            leaves.total - cfg.leaves_cap, 0
+        ).astype(jnp.int32),
     )
     return state, out
 
@@ -353,6 +383,81 @@ def icp_rounds(
             ids, payload = assoc_scan(X, ids, force_full=True)
             H_last, b_last, matched = terms_scan(X, payload, True)
             X = gn_se3_step(X, H_last, b_last)
+    elif n_its > 0 and cfg.certify:
+        # ---- certified exact schedule (see PipelineConfig.certify) ----
+        # Every round is a full re-association; entries whose descent
+        # result is PROVABLY unchanged (path-margin certificate) skip
+        # their gathers. Equality with the plain exact path is pinned by
+        # tests/test_pipeline.py::test_certified_matches_plain_exact.
+        dinfo = jnp.finfo(dtype)
+        r_norm = jnp.linalg.norm(leaves_pts, axis=-1)  # (L,)
+
+        def assoc_certified(X, uncert):
+            """Re-descend uncertified (K, L) entries; certified entries
+            park on row 0 (one hot cache line — ~free gathers)."""
+            ml = leaves_pts @ X[:3, :3].T + X[:3, 3]
+
+            def per_kf(_, kf):
+                tree_fields, unc = kf
+                nav = SearchTree(*tree_fields).nav
+                ids, payload, margin = associate_packed(
+                    nav, 0, cfg.depth, ml, leaves_valid & unc,
+                    return_margin=True,
+                )
+                return 0, (ids, payload, margin)
+
+            _, out = jax.lax.scan(per_kf, 0, (tuple(kf_tree), uncert))
+            return out  # ids (K,L), payload (K,L,8), margin (K,L)
+
+        def motion_bound(Xa, Xb):
+            """Per-leaf upper bound on |Xb m - Xa m|: the certificate's
+            budget. ||(Rb-Ra) m|| <= theta ||m|| (theta = relative
+            rotation angle) plus the translation delta."""
+            dt = jnp.linalg.norm(Xb[:3, 3] - Xa[:3, 3])
+            Rrel = Xa[:3, :3].T @ Xb[:3, :3]
+            cos_t = jnp.clip((jnp.trace(Rrel) - 1.0) * 0.5, -1.0, 1.0)
+            theta = jnp.arccos(cos_t)
+            return dt + theta * r_norm  # (L,)
+
+        def eps_cert(X):
+            """fp-safety floor: the side dot-product's rounding noise
+            scales with the map-frame coordinate magnitude."""
+            t_norm = jnp.linalg.norm(X[:3, 3])
+            return 64.0 * dinfo.eps * (1.0 + t_norm + r_norm)  # (L,)
+
+        ones_kl = jnp.ones((K, L), bool)
+        ids, payload, slack = assoc_certified(X0, ones_kl)
+        if n_its == 1:
+            H_last, b_last, matched = terms_scan(X0, payload, True)
+            X = gn_se3_step(X0, H_last, b_last)
+        else:
+            H0, b0 = terms_scan(X0, payload, False)
+            X1 = gn_se3_step(X0, H0, b0)
+
+            def one_round(r, carry):
+                Xp, X, ids, payload, slack = carry
+                slack = slack - motion_bound(Xp, X)[None, :]
+                uncert = slack <= eps_cert(X)[None, :]
+                ids2, payload2, margin2 = assoc_certified(X, uncert)
+                ids = jnp.where(uncert, ids2, ids)
+                payload = jnp.where(uncert[..., None], payload2, payload)
+                slack = jnp.where(uncert, margin2, slack)
+                H, b = terms_scan(X, payload, False)
+                return (X, gn_se3_step(X, H, b), ids, payload, slack)
+
+            Xp, X, ids, payload, slack = jax.lax.fori_loop(
+                1, n_its - 1, one_round, (X0, X1, ids, payload, slack)
+            )
+            # final round: matched flags + H_last for the information
+            # weight come from this round's (certified) re-association,
+            # like the reference's last-iteration reset (pipeline.cpp:
+            # 172-176)
+            slack = slack - motion_bound(Xp, X)[None, :]
+            uncert = slack <= eps_cert(X)[None, :]
+            _, payload2, _ = assoc_certified(X, uncert)
+            payload = jnp.where(uncert[..., None], payload2, payload)
+            H_last, b_last, matched = terms_scan(X, payload, True)
+            X = gn_se3_step(X, H_last, b_last)
     elif n_its > 0:
         def one_round(_, X):
             H, b = accumulate(X, with_matched=False)
@@ -391,8 +496,11 @@ def odometry_step(
     # ---- deskew (pipeline.cpp:137-138, 79-123) ----
     if cfg.deskew:
         do = state.traj_count >= 2
-        skewed = deskew_cloud(points, state.traj[-2], state.traj[-1], hz)
-        points = jnp.where(do, skewed, points)
+        skewed = deskew_cloud(
+            points, state.traj[-2], state.traj[-1], hz,
+            valid=valid, mode=cfg.deskew_mode,
+        )
+        points = jnp.where(do & valid[:, None], skewed, points)
 
     # ---- current-scan tree (pipeline.cpp:140-144) ----
     tree, _ = build_tree(
@@ -497,6 +605,9 @@ def odometry_step(
         n_leaves=n_leaves.astype(jnp.int32),
         leaves_pts=leaves.pts @ X[:3, :3].T + X[:3, 3],
         leaves_valid=leaves.valid,
+        n_leaves_dropped=jnp.maximum(
+            leaves.total - cfg.leaves_cap, 0
+        ).astype(jnp.int32),
     )
     return new_state, out
 
@@ -575,11 +686,15 @@ class Pipeline:
         assoc_mode: str = "exact",
         reassoc_every: int = 2,
         reassoc_backup: int = 0,
+        deskew_mode: str = "reference",
+        realtime_recal_every: int = 32,
+        certify: bool = True,
     ):
         del num_threads
         self.cfg = PipelineConfig(
             sensor_hz=float(sensor_hz),
             deskew=bool(deskew),
+            deskew_mode=str(deskew_mode),
             b_max=float(b_max),
             rho_ker=float(rho_ker),
             p_th=float(p_th),
@@ -594,6 +709,7 @@ class Pipeline:
             assoc_mode=str(assoc_mode),
             reassoc_every=int(reassoc_every),
             reassoc_backup=int(reassoc_backup),
+            certify=bool(certify),
         )
         self.realtime = bool(realtime)
         self.state = init_state(self.cfg)
@@ -603,6 +719,8 @@ class Pipeline:
         # anytime-realtime calibration (see compute())
         self._rt_scans = 0
         self._rt_calibrated = not self.realtime
+        self._rt_every = max(1, int(realtime_recal_every))
+        self._rt_its_max = int(max_icp_iterations)
         self._now = None  # injectable clock (tests)
 
     # -- main entry ---------------------------------------------------------
@@ -634,7 +752,11 @@ class Pipeline:
     def compute_device(self, stamp: float, pts, valid) -> None:
         """Process a scan already padded and staged on device (see
         :meth:`stage`); otherwise identical to :meth:`compute`."""
-        if not self._rt_calibrated and self._rt_scans >= 2:
+        if (
+            self.realtime
+            and self._rt_scans >= 2
+            and (self._rt_scans - 2) % self._rt_every == 0
+        ):
             self._calibrate_realtime(pts, valid, stamp)
             self._rt_scans += 1
             return
@@ -660,11 +782,20 @@ class Pipeline:
 
         ``stamps`` is a length-C sequence of floats, ``clouds`` a length-C
         sequence of (Ni, 3) arrays. The chunk runs as a single compiled
-        ``lax.scan`` over the scans, which amortizes the per-dispatch
-        host<->device overhead (~30-50 ms on tunneled/remote TPU hosts)
-        across the chunk — the offline/throughput mode. Per-scan results
-        land in the same accessors as ``compute`` (holding the LAST scan
-        of the chunk); returns the (C, 4, 4) chunk poses.
+        ``lax.scan`` over the scans. Per-scan results land in the same
+        accessors as ``compute`` (holding the LAST scan of the chunk);
+        returns the (C, 4, 4) chunk poses.
+
+        .. note:: **Not a throughput mode.** Measured on TPU v5e at the
+           flagship config, chunked dispatch WORSENS device time per scan
+           ~35%: the keyframe-ring donation/aliasing that makes the
+           per-scan step update its ~1 GB of rings in place is defeated
+           inside the ``lax.scan`` body, so every chunk iteration copies
+           the rings (NOTES.md, measured negative result). The ~30-50 ms
+           per-dispatch RPC saving on tunneled hosts does not pay for
+           that at realistic chunk sizes. Use :meth:`compute` (with
+           :meth:`stage` on a prefetch thread) for throughput; this API
+           exists for offline convenience and API completeness only.
 
         With ``realtime=True`` the anytime budget is a per-scan host
         decision, so chunking is refused until the one-time calibration
@@ -696,7 +827,21 @@ class Pipeline:
         return np.asarray(outs.pose)
 
     def _calibrate_realtime(self, pts, valid, stamp) -> None:
-        """Time one synced steady-state step; shrink the ICP budget to fit."""
+        """Rolling anytime-budget calibration: time one synced
+        steady-state step and rescale the ICP iteration budget to fit.
+
+        The reference re-checks its wall-clock budget every ICP
+        iteration of every scan (``pipeline.cpp:166-169``); a compiled
+        TPU step cannot branch on the host clock mid-loop, so the
+        equivalent is this rolling recalibration every
+        ``realtime_recal_every`` scans: the step is re-timed (hard
+        device sync both sides), the iteration count SHRINKS when the
+        budget is blown and is RESTORED toward the configured maximum
+        when headroom returns (load epochs on shared/tunneled chips move
+        step time ~1.6x — NOTES.md). Each distinct count compiles once
+        and then hits the jit cache, so oscillating load does not
+        re-pay compilation.
+        """
         import time as _time
 
         now = self._now or _time.perf_counter
@@ -708,16 +853,24 @@ class Pipeline:
 
         budget_s = 1.0 / self.cfg.sensor_hz - 0.005  # 5 ms reserve, as ref
         its = self.cfg.max_icp_iterations
-        if step_s > budget_s and its > 1:
-            # assume cost ~ linear in the iteration count with the
-            # remainder (build/bookkeeping) as a fixed floor of ~2 rounds
-            new_its = max(1, int(its * budget_s / step_s) - 2)
-            if new_its < its:
-                import dataclasses
+        # cost ~ linear in the iteration count with the remainder
+        # (build/bookkeeping) as a fixed floor of ~2 rounds' worth
+        cand = int(its * budget_s / max(step_s, 1e-9)) - 2
+        cand = max(1, min(self._rt_its_max, cand))
+        if step_s > budget_s and cand < its:
+            new_its = cand
+        elif step_s < 0.8 * budget_s and cand > its:
+            # restore gradually (the linear model extrapolates badly far
+            # from the measured point; converges in a few recals)
+            new_its = min(cand, its + 4)
+        else:
+            new_its = its
+        if new_its != its:
+            import dataclasses
 
-                self.cfg = dataclasses.replace(
-                    self.cfg, max_icp_iterations=new_its
-                )
+            self.cfg = dataclasses.replace(
+                self.cfg, max_icp_iterations=new_its
+            )
         self._rt_calibrated = True
 
     def _pad(self, points: np.ndarray):
@@ -755,6 +908,14 @@ class Pipeline:
 
     def inlier_ratio(self) -> float:
         return float(np.asarray(self._last.inlier_ratio)) if self._last else 0.0
+
+    def leaves_dropped(self) -> int:
+        """Leaves of the current scan dropped by the static ``max_leaves``
+        capacity (the reference never drops, ``mad_tree.cpp:154-163``);
+        nonzero means the configured capacity is too small for the scene."""
+        return (
+            int(np.asarray(self._last.n_leaves_dropped)) if self._last else 0
+        )
 
     def current_leaves(self) -> np.ndarray:
         """Current-scan leaf points in the map frame (viewer accessor)."""

@@ -108,6 +108,29 @@ def eigh3(A: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     v2 = v2 - jnp.sum(v2 * v0, axis=-1, keepdims=True) * v0
     v2, ok2b = _normalize(v2, eps)
     v2 = jnp.where(ok2b[..., None], v2, _any_perp(v0, eps))
+
+    # Canonicalise (near-)degenerate PAIRS: when two eigenvalues coincide
+    # the corresponding eigenplane basis is mathematically arbitrary (e.g.
+    # the rank-1 covariance of a 2-point node: lambda0 = lambda1 = 0, and
+    # the reference inherits that arbitrary direction as a surfel normal,
+    # mad_tree.cpp:104-112). Eigen's computeDirect makes an internal
+    # arbitrary choice no reimplementation can reproduce; we instead fix a
+    # DETERMINISTIC convention — the coordinate-axis cross product of the
+    # well-defined remaining eigenvector — mirrored by the numpy oracle
+    # (tests/reference_oracle.py::canonical_eigh) so cross-implementation
+    # parity tests are exact. Sign remains arbitrary (the math is
+    # sign-invariant).
+    # Threshold sized to the trig formula's own eigenvalue error on
+    # degenerate pairs (~1e-8 relative in f64, measured): both this and
+    # the LAPACK-based oracle must take the same branch, and widening is
+    # harmless — canonicalising a nearly-degenerate basis just replaces
+    # one arbitrary-but-valid choice with a deterministic one.
+    tol_c = 1e-6 if dtype == jnp.float64 else 1e-3
+    deg01 = (l1 - l0) < tol_c  # normal/middle plane degenerate
+    deg12 = (l2 - l1) < tol_c  # split/middle plane degenerate
+    v0 = jnp.where((deg01 & ~deg12)[..., None], _any_perp(v2, eps), v0)
+    v2 = jnp.where((deg12 & ~deg01)[..., None], _any_perp(v0, eps), v2)
+
     v1 = jnp.cross(v2, v0)
     v1, _ = _normalize(v1, eps)
 

@@ -45,6 +45,7 @@ def associate_packed(
     moving_valid: jnp.ndarray,
     start: jnp.ndarray = None,
     n_gathers: int = None,
+    return_margin: bool = False,
 ):
     """Descend one fixed tree for every moving point (already in the map
     frame); the descent's final block IS the matched leaf's payload
@@ -54,11 +55,13 @@ def associate_packed(
     Returns ``(leaf_ids, payload)`` with ``payload`` (L, 8) =
     ``[f_pt(3), f_n(3), f_bbox0, flags]`` (``flags == 3`` marks a real
     leaf match). ``start``/``n_gathers`` warm-start the descent (see
-    ``search_forest``).
+    ``search_forest``). With ``return_margin`` also returns the (L,)
+    path-stability margins (see ``search_forest``).
     """
     return search_forest(
         nav, moving_pts_map, base, depth, valid=moving_valid,
         start=start, n_gathers=n_gathers, return_blocks=True,
+        return_margin=return_margin,
     )
 
 
@@ -191,9 +194,36 @@ def solve_gn(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(good, dx, jnp.zeros_like(dx))
 
 
+# Trust-region bound on one GN step. When the match set is small and
+# geometrically degenerate (e.g. a registration started ~1 m off, every
+# match on one plane), H is near-singular along some direction and the
+# raw GN step can be metres long in a meaningless direction — the
+# reference's unguarded f64 LDLT (mad_icp.cpp:111) has the same failure
+# mode, it just never shows on its published demos. Converged operation
+# takes mm-scale steps, so this clamp is INACTIVE on every nominal
+# trajectory (oracle-parity tests pin that) and only stops catastrophic
+# escapes, letting the next re-association recover.
+GN_STEP_MAX_T = 1.0  # metres
+GN_STEP_MAX_R = 0.5  # radians
+
+
+def clamp_step(dx: jnp.ndarray) -> jnp.ndarray:
+    """Scale dx = [t(3), w(3)] into the trust region (direction kept)."""
+    dt = jnp.linalg.norm(dx[:3])
+    dr = jnp.linalg.norm(dx[3:])
+    scale = jnp.minimum(
+        1.0,
+        jnp.minimum(
+            GN_STEP_MAX_T / jnp.maximum(dt, 1e-30),
+            GN_STEP_MAX_R / jnp.maximum(dr, 1e-30),
+        ),
+    )
+    return dx * scale
+
+
 def gn_se3_step(X: jnp.ndarray, H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """One right-multiplicative Gauss-Newton update of X (``mad_icp.cpp:105-117``)."""
-    dx = solve_gn(H, b)
+    dx = clamp_step(solve_gn(H, b))
     return X @ exp_se3_split(dx)
 
 

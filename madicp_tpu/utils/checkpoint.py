@@ -12,26 +12,54 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
+import threading
 from pathlib import Path
 
 import jax
 import numpy as np
 
 
-def save_pipeline(path, pipe) -> None:
-    """Write a Pipeline's static config + full device state to ``path``."""
+def save_pipeline(path, pipe, compress: bool = False, background: bool = False):
+    """Write a Pipeline's static config + full device state to ``path``.
+
+    The device->host snapshot is taken synchronously (a consistent
+    checkpoint needs the state as of NOW), but the file write — the
+    multi-second part at flagship scale (~1 GB of rings) — can run on a
+    background thread (``background=True``; returns the ``Thread``, join
+    it before process exit). ``compress`` defaults off: the state is
+    float arenas that deflate poorly, and compression multiplies the
+    critical-path stall the reference's realtime loop never pays
+    (the reference has no checkpointing at all, SURVEY.md §5). The file
+    is written to a temp sibling and atomically renamed, so a crash
+    mid-write never corrupts the previous checkpoint.
+    """
     from madicp_tpu.models.pipeline import PipelineConfig  # noqa: F401
 
     cfg = dataclasses.asdict(pipe.cfg)
     cfg["dtype"] = np.dtype(pipe.cfg.dtype).name
     leaves, treedef = jax.tree.flatten(pipe.state)
-    arrays = {f"leaf_{i}": np.asarray(a) for i, a in enumerate(leaves)}
-    np.savez_compressed(
-        path,
-        __config__=json.dumps(cfg),
-        __realtime__=np.asarray(pipe.realtime),
-        **arrays,
-    )
+    host = jax.device_get(leaves)  # one batched transfer
+    arrays = {f"leaf_{i}": np.asarray(a) for i, a in enumerate(host)}
+    path = Path(path)
+    tmp = path.with_name(path.name + ".tmp.npz")
+
+    def _write():
+        save = np.savez_compressed if compress else np.savez
+        save(
+            tmp,
+            __config__=json.dumps(cfg),
+            __realtime__=np.asarray(pipe.realtime),
+            **arrays,
+        )
+        os.replace(tmp, path)
+
+    if background:
+        t = threading.Thread(target=_write, name="madicp-ckpt", daemon=False)
+        t.start()
+        return t
+    _write()
+    return None
 
 
 def load_pipeline(path):

@@ -264,3 +264,50 @@ def test_warm_start_search_tracks_small_motion(rng, four_walls):
     )
     agree = np.mean(np.asarray(full) == np.asarray(warm))
     assert agree > 0.97, f"warm/full agreement {agree}"
+
+
+def test_descent_margin_certificate_sound(rng, four_walls):
+    """Path-margin certificate (certified re-association): perturbing a
+    query by STRICTLY LESS than its returned margin must land in the
+    SAME leaf — for every query and every perturbation direction tried."""
+    from madicp_tpu.ops.tree import search_forest
+
+    pts = four_walls
+    depth = 14
+    tree, _, _ = _build(pts, 0.2, 0.1, depth=depth)
+    q0 = pts[rng.integers(0, len(pts), 512)] + rng.normal(
+        size=(512, 3)
+    ) * 0.05
+    ids0, _, margin = search_forest(
+        tree.nav, jnp.asarray(q0), 0, depth,
+        return_blocks=True, return_margin=True,
+    )
+    ids0 = np.asarray(ids0)
+    margin = np.asarray(margin)
+    assert (margin > 0).all()
+    for _ in range(8):
+        d = rng.normal(size=q0.shape)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        q1 = q0 + d * (0.9 * margin[:, None])
+        ids1 = np.asarray(search_forest(tree.nav, jnp.asarray(q1), 0, depth))
+        np.testing.assert_array_equal(ids0, ids1)
+
+
+def test_descent_margin_is_tight_enough(rng, four_walls):
+    """The margin is not vacuous: beyond it, some descents DO change
+    (otherwise the certificate would certify everything forever)."""
+    from madicp_tpu.ops.tree import search_forest
+
+    pts = four_walls
+    depth = 14
+    tree, _, _ = _build(pts, 0.2, 0.1, depth=depth)
+    q0 = pts[rng.integers(0, len(pts), 512)]
+    ids0, _, margin = search_forest(
+        tree.nav, jnp.asarray(q0), 0, depth,
+        return_blocks=True, return_margin=True,
+    )
+    d = rng.normal(size=q0.shape)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    q1 = q0 + d * (3.0 * np.asarray(margin)[:, None])
+    ids1 = np.asarray(search_forest(tree.nav, jnp.asarray(q1), 0, depth))
+    assert (np.asarray(ids0) != ids1).any()

@@ -107,7 +107,13 @@ def test_deskew_identity_when_static():
 
 
 def test_deskew_rotation(rng):
-    # pure yaw rotation: deskewed points rotated by exp(w * t_bin)
+    # pure yaw rotation: deskewed points rotated by exp(w * t_bin).
+    # mode="binned": a point's time offset is a pure function of its
+    # azimuth, so a lone mid-sweep point maps to the sweep's middle.
+    # (The default "reference" mode replicates the literal serial sweep,
+    # which advances the bin at most once per POINT — a 1-point cloud
+    # stays at the sweep start; parity for that semantic is pinned in
+    # tests/test_pipeline_oracle.py against the literal numpy loop.)
     ts = 0.1
     w = np.array([0.0, 0.0, 0.5])
     T_prev = np.eye(4)
@@ -115,7 +121,10 @@ def test_deskew_rotation(rng):
     T_now[:3, :3] = oracle.exp_so3(w * ts)
     pts = np.array([[10.0, 0.01, 0.0]])  # azimuth ~ 0 -> middle of sweep
     out = np.asarray(
-        deskew_cloud(jnp.asarray(pts), jnp.asarray(T_prev), jnp.asarray(T_now), 1.0 / ts)
+        deskew_cloud(
+            jnp.asarray(pts), jnp.asarray(T_prev), jnp.asarray(T_now),
+            1.0 / ts, mode="binned",
+        )
     )
     t_expect = -ts / 2
     R = oracle.exp_so3(w * t_expect)
