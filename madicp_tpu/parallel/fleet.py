@@ -24,6 +24,16 @@ from madicp_tpu.models.pipeline import (
 )
 
 
+def _make_global(x, sharding):
+    """Build a (possibly cross-process) global array from a value every
+    process holds in full: each addressable shard is sliced out locally.
+    Single-process shardings take the plain ``device_put`` path."""
+    x = np.asarray(x)
+    if len(sharding.device_set) == len(sharding.addressable_devices):
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 class Fleet:
     """Batched odometry over ``n_seq`` independent sequences."""
 
@@ -67,7 +77,10 @@ class Fleet:
                 out_shardings=(st_shard, out_rep),
                 donate_argnums=(0,),
             )
-            self.states = jax.device_put(states, st_shard)
+            self._seq_s = seq_s
+            self.states = jax.tree.map(
+                lambda a, s: _make_global(a, s), states, st_shard
+            )
         else:
             self._step = jax.jit(batched_step, donate_argnums=(0,))
             # force distinct buffers per leaf: the jitted vmap(init_state)
@@ -84,11 +97,23 @@ class Fleet:
             valid:  (B, N) masks.
         Returns the batched StepOutput.
         """
-        points = jnp.asarray(points, self.cfg.dtype)
-        valid = jnp.asarray(valid)
-        stamps = jnp.asarray(stamps, self.cfg.dtype)
+        points = np.asarray(points, self.cfg.dtype)
+        valid = np.asarray(valid)
+        stamps = np.asarray(stamps, self.cfg.dtype)
+        if self.mesh is not None:
+            # every process passes the FULL batch; cross-process meshes
+            # slice out each process's addressable shards locally (DCN
+            # carries nothing inside the step — 'seq' is pure DP)
+            points = _make_global(points, self._seq_s)
+            valid = _make_global(valid, self._seq_s)
+            stamps = _make_global(stamps, self._seq_s)
         self.states, out = self._step(self.states, points, valid, stamps)
         return out
 
     def poses(self) -> np.ndarray:
-        return np.asarray(self.states.X)
+        X = self.states.X
+        if isinstance(X, jax.Array) and not X.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            X = multihost_utils.process_allgather(X, tiled=True)
+        return np.asarray(X)
