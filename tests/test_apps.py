@@ -69,6 +69,57 @@ def test_mad_registration_demo():
     np.testing.assert_allclose(T, np.eye(4), atol=5e-3)
 
 
+def test_fleet_eval_end_to_end(tmp_path, rng):
+    """VERDICT r1 item 10: readers -> Fleet -> evaluate in one command,
+    N sequences batched (BASELINE.json configs[2-5] shape)."""
+    from madicp_tpu.apps.fleet_eval import main as fleet_main
+    from madicp_tpu.apps.evaluate import evaluate
+    from madicp_tpu.utils.config import DATASET_CONFIGS, dump_yaml
+
+    out = tmp_path / "out"
+    seq_dirs = []
+    for s in range(2):
+        d = tmp_path / f"seq{s:02d}"
+        d.mkdir()
+        scans, _ = synthetic_room_scans(
+            rng, n_scans=4 - s, n_points=1000, step=0.05 + 0.01 * s
+        )
+        for i, sc in enumerate(scans):
+            arr = np.zeros((len(sc), 4), np.float32)
+            arr[:, :3] = sc
+            arr.tofile(d / f"{i:06d}.bin")
+        seq_dirs.append(d)
+
+    cfg = tmp_path / "ds.cfg"
+    dump_yaml(DATASET_CONFIGS["vbr_os0"], cfg)
+    rc = fleet_main(
+        [
+            "--data-paths", str(seq_dirs[0]), str(seq_dirs[1]),
+            "--estimate-path", str(out),
+            "--dataset-config", str(cfg),
+            "--num-keyframes", "2",
+            "--n-points", "2048",
+            "--depth", "11",
+            "--json",
+        ]
+    )
+    assert rc == 0
+    # lockstep: both sequences truncated to the shortest (3 scans)
+    for d in seq_dirs:
+        est = out / d.name / "estimate.txt"
+        poses = load_kitti_poses(est)
+        assert poses.shape == (3, 4, 4)
+        assert np.isfinite(poses).all()
+        np.testing.assert_allclose(poses[0], np.eye(4), atol=1e-12)
+        # metrics wire-up: a trajectory scores zero against itself
+        m = evaluate(est, est)
+        assert m["ate_rmse_m"] < 1e-12
+    # the two sequences moved differently
+    a = load_kitti_poses(out / seq_dirs[0].name / "estimate.txt")
+    b = load_kitti_poses(out / seq_dirs[1].name / "estimate.txt")
+    assert np.linalg.norm(a[2][:3, 3] - b[2][:3, 3]) > 1e-3
+
+
 def test_cli_checkpoint_resume(tmp_path, rng):
     """Interrupt after 2 scans, resume, and match an uninterrupted run."""
     data = tmp_path / "data"
