@@ -34,6 +34,9 @@ class Visualizer:
         self.enabled = _HAS_O3D
         self.paused = False
         self._traj_pts: list[np.ndarray] = []
+        # keyframe marker poses (one green sphere each, reference
+        # visualizer.py:101-105); tracked even headless for testability
+        self._kf_poses: list[np.ndarray] = []
         if not self.enabled:
             print("[visualizer] open3d not installed — running headless")
             return
@@ -58,8 +61,15 @@ class Visualizer:
         return False
 
     def update(self, current_leaves, model_leaves, pose, keyframe_pose):
+        """Refresh the scene. ``keyframe_pose`` is non-None only on scans
+        that promoted a keyframe (the CLI mirrors the reference's call
+        pattern); each one adds a persistent green marker sphere at the
+        keyframe origin, like the reference (``visualizer.py:101-105``,
+        ``SPHERE_SIZE = 0.20``)."""
         pose = np.asarray(pose)
         self._traj_pts.append(pose[:3, 3].copy())
+        if keyframe_pose is not None:
+            self._kf_poses.append(np.asarray(keyframe_pose).copy())
         if not self.enabled:
             return
         while self.paused:  # pragma: no cover
@@ -75,6 +85,11 @@ class Visualizer:
             self.map.points = o3d.utility.Vector3dVector(ml)
             self.map.colors = o3d.utility.Vector3dVector(_z_colormap(ml[:, 2]))
             self.vis.update_geometry(self.map)
+        if keyframe_pose is not None:  # pragma: no cover - needs open3d
+            sphere = o3d.geometry.TriangleMesh.create_sphere(0.20)
+            sphere.paint_uniform_color([0.0, 1.0, 0.0])
+            sphere.transform(np.asarray(keyframe_pose))
+            self.vis.add_geometry(sphere, reset_bounding_box=False)
         if len(self._traj_pts) >= 2:
             pts = np.stack(self._traj_pts)
             lines = [[i, i + 1] for i in range(len(pts) - 1)]
