@@ -52,6 +52,7 @@ class _RosbagsReaderBase:
         self.max_range = max_range
         self.topic = topic
         self.num_messages = self.bag.topics[topic].msgcount
+        self._cursor = 0
 
     def __len__(self):
         return self.num_messages
@@ -67,10 +68,24 @@ class _RosbagsReaderBase:
         return self
 
     def __next__(self):
-        return self[0]
+        return self[self._cursor]
 
     def __getitem__(self, item) -> Tuple[float, np.ndarray]:
+        """Sequential access only: bag messages are a stream, not files.
+
+        ``reader[i]`` is valid exactly when ``i`` is the next unread
+        index (so ``for i in range(len(r)): r[i]`` and iteration both
+        work); anything else raises instead of silently returning the
+        wrong scan. True random access exists only on
+        :class:`~madicp_tpu.utils.kitti.KittiReader` (one file per scan).
+        """
+        if item != self._cursor:
+            raise IndexError(
+                f"bag streams are sequential: next readable index is "
+                f"{self._cursor}, got {item}"
+            )
         connection, timestamp, rawdata = next(self.msgs)
+        self._cursor += 1
         msg = self.bag.deserialize(rawdata, connection.msgtype)
         points, _ = read_point_cloud(
             msg, min_range=self.min_range, max_range=self.max_range
@@ -131,6 +146,7 @@ class McapReader:
         self.msgs = read_ros2_messages(str(mcap_file), topics=[topic])
         self.min_range = min_range
         self.max_range = max_range
+        self._cursor = 0
 
     def __len__(self):
         return self.num_messages
@@ -145,10 +161,17 @@ class McapReader:
         return self
 
     def __next__(self):
-        return self[0]
+        return self[self._cursor]
 
     def __getitem__(self, item) -> Tuple[float, np.ndarray]:
+        """Sequential access only (see ``_RosbagsReaderBase.__getitem__``)."""
+        if item != self._cursor:
+            raise IndexError(
+                f"mcap streams are sequential: next readable index is "
+                f"{self._cursor}, got {item}"
+            )
         msg = next(self.msgs).ros_msg
+        self._cursor += 1
         points, _ = read_point_cloud(
             msg, min_range=self.min_range, max_range=self.max_range
         )
