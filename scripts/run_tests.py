@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Process-sharded test runner (flake isolation).
+
+A single >25-minute pytest process over ~120 compile-heavy JAX tests can
+die inside XLA CPU compilation (observed: rare segfault at high RSS —
+VERDICT r1 "flaky test infrastructure"). Running the suite as several
+INDEPENDENT pytest processes bounds each process's accumulated
+compile-cache/arena state, turns one bad process into one failed shard,
+and lets a segfaulted shard be retried cheaply. This is the CI entry
+point; locally `python scripts/run_tests.py` behaves the same.
+
+Shards are fixed groups of test files (balanced by measured runtime, the
+slow compile-heavy files spread across shards). Each shard is retried
+once on a CRASH signal (segfault/abort), never on an ordinary test
+failure.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# balanced by runtime; heavy files (pipeline/parallel/oracle/golden)
+# deliberately split across shards. A shard is a pytest arg list, so
+# test_pipeline.py — too many heavy compiles for one process — is
+# itself split in two with -k.
+SHARDS = [
+    [
+        "tests/test_pipeline.py",
+        "-k", "not (compute_batch or realtime or certified or fast_assoc)",
+    ],
+    [
+        "tests/test_pipeline.py",
+        "-k", "compute_batch or realtime or certified or fast_assoc",
+    ],
+    [
+        "tests/test_lie.py",
+        "tests/test_io_config.py",
+    ],
+    [
+        "tests/test_pipeline_oracle.py",
+        "tests/test_eigh3.py",
+        "tests/test_numerics.py",
+        "tests/test_native.py",
+    ],
+    [
+        "tests/test_parallel.py",
+        "tests/test_tree.py",
+        "tests/test_segscan.py",
+    ],
+    [
+        "tests/test_golden.py",
+        "tests/test_icp.py",
+        "tests/test_vel_deskew.py",
+    ],
+    [
+        "tests/test_apps.py",
+        "tests/test_checkpoint_eval.py",
+        "tests/test_entry.py",
+        "tests/test_distributed.py",
+    ],
+]
+
+
+def discover_unsharded() -> list[str]:
+    """Any test file not listed above joins a final catch-all shard, so
+    new test files can never silently fall out of CI."""
+    listed = {f for shard in SHARDS for f in shard if not f.startswith("-")
+              and not f.startswith("(") and f.endswith(".py")}
+    extra = []
+    for name in sorted(os.listdir(os.path.join(REPO, "tests"))):
+        rel = f"tests/{name}"
+        if name.startswith("test_") and name.endswith(".py") and rel not in listed:
+            extra.append(rel)
+    return extra
+
+
+def run_shard(files: list[str], idx: int, extra_args: list[str]) -> int:
+    cmd = [sys.executable, "-m", "pytest", "-q", *files, *extra_args]
+    print(f"[shard {idx}] {' '.join(files)}", flush=True)
+    t0 = time.time()
+    rc = subprocess.call(cmd, cwd=REPO)
+    if rc < 0 or rc in (132, 133, 134, 135, 136, 137, 138, 139):
+        # crashed (signal), not a test failure: retry once
+        print(f"[shard {idx}] CRASHED (rc={rc}) — retrying once", flush=True)
+        rc = subprocess.call(cmd, cwd=REPO)
+    print(f"[shard {idx}] rc={rc} in {time.time() - t0:.0f}s", flush=True)
+    return rc
+
+
+def main(argv=None) -> int:
+    extra_args = list(argv or sys.argv[1:])
+    shards = [list(s) for s in SHARDS]
+    extra = discover_unsharded()
+    if extra:
+        shards.append(extra)
+    failed = []
+    for i, files in enumerate(shards):
+        if run_shard(files, i, extra_args) != 0:
+            failed.append(i)
+    if failed:
+        print(f"FAILED shards: {failed}")
+        return 1
+    print(f"all {len(shards)} shards green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

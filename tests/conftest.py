@@ -24,6 +24,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: the suite is compile-dominated on
+# this class of host, and the rare XLA-CPU compile segfault (observed
+# under high accumulated RSS, see scripts/run_tests.py) makes retries
+# routine — with the cache, a retried shard (and every rerun) skips
+# straight past the compiles that already succeeded.
+_cache_dir = os.environ.get("MADICP_XLA_CACHE", "/tmp/madicp_xla_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
