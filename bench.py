@@ -5,15 +5,17 @@ Runs the flagship configuration — KITTI-scale padded scans (131072 points),
 all 15 GN rounds per scan (no early exit) — on synthetic KITTI-like
 geometry, and reports steady-state scans/sec.
 
-Association schedule: the TPU-native fast mode (``assoc_mode="fast"``,
-``reassoc_every=7``) — full re-descents on rounds 0, 7 and the final
-round, cached associations re-gated under the current estimate in
-between. Trajectory agreement with the exact every-round re-association
-schedule is at the millimetre level (tests/test_pipeline.py::
-test_fast_assoc_matches_exact_trajectory; measured 4.8 mm after 12
-flagship-scale scans on an observable synthetic scene whose final-pose
-error matches exact mode). Set BENCH_ASSOC_MODE=exact for the
-reference-identical schedule (~2.3x slower).
+Association schedule: the headline is the REFERENCE-IDENTICAL exact
+schedule (``assoc_mode="exact"``) — every GN round is a full
+re-association of every moving leaf against every keyframe
+(``pipeline.cpp:166-193``) — accelerated by the certified
+re-association (``certify=True``): descents whose path-stability margin
+provably exceeds the accumulated pose motion skip their HBM gathers and
+reuse their cached leaf, which is RESULT-IDENTICAL to re-descending
+(tests/test_pipeline.py::test_certified_matches_plain_exact). Set
+BENCH_CERTIFY=0 for the plain every-gather exact schedule, or
+BENCH_ASSOC_MODE=fast for the approximate periodic-re-descent mode
+(mm-level trajectory agreement, kept for comparison).
 
 Steady state is enforced: the keyframe ring is prefilled with 16 real
 keyframe trees built from staggered viewpoints before timing starts, so the
@@ -88,7 +90,8 @@ def main():
     max_leaves = int(os.environ.get("BENCH_MAX_LEAVES", 32768))
     n_warmup = int(os.environ.get("BENCH_WARMUP", 3))
     n_steps = int(os.environ.get("BENCH_STEPS", 12))
-    assoc_mode = os.environ.get("BENCH_ASSOC_MODE", "fast")
+    assoc_mode = os.environ.get("BENCH_ASSOC_MODE", "exact")
+    certify = os.environ.get("BENCH_CERTIFY", "1") != "0"
     reassoc_every = int(os.environ.get("BENCH_REASSOC_EVERY", 7))
     chunk = int(os.environ.get("BENCH_CHUNK", 1))
 
@@ -107,6 +110,7 @@ def main():
         dtype=jnp.float32,
         assoc_mode=assoc_mode,
         reassoc_every=reassoc_every,
+        certify=certify,
     )
 
     rng = np.random.default_rng(0)
