@@ -172,6 +172,12 @@ class StepOutput(NamedTuple):
     # configured max_leaves is too small for this scene and the map /
     # inlier bookkeeping is running on a truncated leaf set
     n_leaves_dropped: jnp.ndarray  # () int32
+    # (keyframe-slot, valid-leaf) tree descents this scan actually
+    # walked (gathers not parked on row 0). The plain exact schedule
+    # performs rounds x K x L_valid of them; the certified schedule's
+    # count collapses toward ~1 full round's worth as GN converges —
+    # this is the observable evidence for the certificate's skip rate
+    n_descents: jnp.ndarray  # () int32
 
 
 def _empty_tree(cfg: PipelineConfig, lead: tuple = ()) -> SearchTree:
@@ -240,6 +246,7 @@ def initialize_step(
         n_leaves_dropped=jnp.maximum(
             leaves.total - cfg.leaves_cap, 0
         ).astype(jnp.int32),
+        n_descents=jnp.zeros((), jnp.int32),  # first scan runs no ICP
     )
     return state, out
 
@@ -270,14 +277,18 @@ def icp_rounds(
     default. The keyframe count is taken from the (local) array shapes,
     NOT from ``cfg.num_keyframes``.
 
-    Returns ``(X, H_last, matched)``; ``matched`` flags come from the
-    final round only, like the reference (``pipeline.cpp:172-176``).
+    Returns ``(X, H_last, matched, n_descents)``; ``matched`` flags come
+    from the final round only, like the reference (``pipeline.cpp:
+    172-176``); ``n_descents`` counts the (keyframe-slot, valid-leaf)
+    tree descents the schedule actually walked (local to this shard —
+    the sharded wrapper psums it).
     """
     dtype = cfg.dtype
     if reduce_terms is None:
         reduce_terms = lambda t: t  # noqa: E731
     K = kf_valid_f.shape[0]
     L = leaves_pts.shape[0]
+    nv = jnp.sum(leaves_valid).astype(jnp.int32)  # valid moving leaves
 
     def accumulate(X, with_matched: bool):
         """One full association+accumulation pass (exact schedule)."""
@@ -355,6 +366,14 @@ def icp_rounds(
     # skip that bookkeeping entirely.
     n_its = cfg.max_icp_iterations
     if n_its > 0 and cfg.assoc_mode == "fast":
+        # descents happen on round 0, every reassoc_every-th
+        # intermediate round, and the final full round — a static count
+        n_redesc_rounds = sum(
+            1 for r in range(1, n_its - 1) if r % cfg.reassoc_every == 0
+        )
+        n_descents = (
+            jnp.int32(1 if n_its == 1 else 2 + n_redesc_rounds) * K * nv
+        )
         ids, payload = assoc_scan(X0, None)  # round 0: full descent
         if n_its == 1:
             H_last, b_last, matched = terms_scan(X0, payload, True)
@@ -425,8 +444,12 @@ def icp_rounds(
             t_norm = jnp.linalg.norm(X[:3, 3])
             return 64.0 * dinfo.eps * (1.0 + t_norm + r_norm)  # (L,)
 
+        def count_uncert(uncert):
+            return jnp.sum(uncert & leaves_valid[None, :]).astype(jnp.int32)
+
         ones_kl = jnp.ones((K, L), bool)
         ids, payload, slack = assoc_certified(X0, ones_kl)
+        n_descents = jnp.int32(K) * nv  # round 0: everything descends
         if n_its == 1:
             H_last, b_last, matched = terms_scan(X0, payload, True)
             X = gn_se3_step(X0, H_last, b_last)
@@ -435,7 +458,7 @@ def icp_rounds(
             X1 = gn_se3_step(X0, H0, b0)
 
             def one_round(r, carry):
-                Xp, X, ids, payload, slack = carry
+                Xp, X, ids, payload, slack, nd = carry
                 slack = slack - motion_bound(Xp, X)[None, :]
                 uncert = slack <= eps_cert(X)[None, :]
                 ids2, payload2, margin2 = assoc_certified(X, uncert)
@@ -443,10 +466,12 @@ def icp_rounds(
                 payload = jnp.where(uncert[..., None], payload2, payload)
                 slack = jnp.where(uncert, margin2, slack)
                 H, b = terms_scan(X, payload, False)
-                return (X, gn_se3_step(X, H, b), ids, payload, slack)
+                nd = nd + count_uncert(uncert)
+                return (X, gn_se3_step(X, H, b), ids, payload, slack, nd)
 
-            Xp, X, ids, payload, slack = jax.lax.fori_loop(
-                1, n_its - 1, one_round, (X0, X1, ids, payload, slack)
+            Xp, X, ids, payload, slack, n_descents = jax.lax.fori_loop(
+                1, n_its - 1, one_round,
+                (X0, X1, ids, payload, slack, n_descents),
             )
             # final round: matched flags + H_last for the information
             # weight come from this round's (certified) re-association,
@@ -456,6 +481,7 @@ def icp_rounds(
             uncert = slack <= eps_cert(X)[None, :]
             _, payload2, _ = assoc_certified(X, uncert)
             payload = jnp.where(uncert[..., None], payload2, payload)
+            n_descents = n_descents + count_uncert(uncert)
             H_last, b_last, matched = terms_scan(X, payload, True)
             X = gn_se3_step(X, H_last, b_last)
     elif n_its > 0:
@@ -466,11 +492,13 @@ def icp_rounds(
         X = jax.lax.fori_loop(0, n_its - 1, one_round, X0)
         H_last, b_last, matched = accumulate(X, with_matched=True)
         X = gn_se3_step(X, H_last, b_last)
+        n_descents = jnp.int32(n_its) * K * nv  # every round, everything
     else:
         X = X0
         H_last = jnp.zeros((6, 6), dtype)
         matched = jnp.zeros(L, bool)
-    return X, H_last, matched
+        n_descents = jnp.zeros((), jnp.int32)
+    return X, H_last, matched, n_descents
 
 
 def odometry_step(
@@ -513,12 +541,12 @@ def odometry_step(
 
     # ---- ICP rounds over the keyframe map (pipeline.cpp:166-193) ----
     if icp_rounds_fn is None:
-        X, H_last, matched = icp_rounds(
+        X, H_last, matched, n_descents = icp_rounds(
             cfg, state.kf_tree, state.kf_valid.astype(dtype),
             leaves.pts, leaves.valid, X0,
         )
     else:
-        X, H_last, matched = icp_rounds_fn(
+        X, H_last, matched, n_descents = icp_rounds_fn(
             state.kf_tree, state.kf_valid, leaves, X0
         )
 
@@ -608,6 +636,7 @@ def odometry_step(
         n_leaves_dropped=jnp.maximum(
             leaves.total - cfg.leaves_cap, 0
         ).astype(jnp.int32),
+        n_descents=n_descents,
     )
     return new_state, out
 
@@ -908,6 +937,14 @@ class Pipeline:
 
     def inlier_ratio(self) -> float:
         return float(np.asarray(self._last.inlier_ratio)) if self._last else 0.0
+
+    def descents(self) -> int:
+        """(keyframe-slot, valid-leaf) tree descents the last scan's ICP
+        actually walked. With the certified exact schedule this collapses
+        toward one full round's worth (K x n_leaves) as GN converges —
+        the measurable evidence that the certificate is doing its job;
+        the plain exact schedule reports rounds x K x n_leaves."""
+        return int(np.asarray(self._last.n_descents)) if self._last else 0
 
     def leaves_dropped(self) -> int:
         """Leaves of the current scan dropped by the static ``max_leaves``

@@ -121,17 +121,19 @@ def make_sharded_pipeline_step(cfg: PipelineConfig, mesh: Mesh):
 
     def sharded_rounds(kf_tree, kf_valid, leaves, X0):
         def local(kf_tree, kf_valid, leaves_pts, leaves_valid, X0):
-            return icp_rounds(
+            X, H_last, matched, n_desc = icp_rounds(
                 cfg, kf_tree, kf_valid.astype(cfg.dtype),
                 leaves_pts, leaves_valid, X0, reduce_terms=psum_terms,
             )
+            # descent counts are per-shard; report the global total
+            return X, H_last, matched, jax.lax.psum(n_desc, "kf")
 
         kf_spec = jax.tree.map(lambda _: P("kf"), kf_tree)
         return shard_map(
             local,
             mesh=mesh,
             in_specs=(kf_spec, P("kf"), P(), P(), P()),
-            out_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
             # descent carries start replicated and become kf-varying;
             # skip the static vma check (equivalence covered by tests)
             check_vma=False,

@@ -168,6 +168,13 @@ def test_certified_matches_plain_exact(rng):
     np.testing.assert_allclose(
         np.asarray(a.state.velocity), np.asarray(b.state.velocity), atol=1e-9
     )
+    # observability: the plain exact schedule walks every descent every
+    # round; the certificate must have skipped a large share of them
+    # once GN converges (this is the mechanism behind its speed)
+    K = 2
+    full = b.cfg.max_icp_iterations * K * int(np.asarray(b._last.n_leaves))
+    assert b.descents() == full
+    assert 0 < a.descents() < full // 2
 
 
 def test_realtime_budget_degrades_and_recovers(rng, four_walls):
