@@ -436,7 +436,16 @@ def icp_rounds(
             re-descent, which is what the margin certificate needs.
             Measured ~2-3x tighter than the dt + theta*||m|| rotation
             -angle bound (late-round uncertified tails shrink ~3x,
-            /tmp percell probe, NOTES.md)."""
+            NOTES.md).
+
+            SOUNDNESS CONSTRAINT: this budget's own rounding error must
+            stay below ``eps_cert`` or near-zero-slack entries get
+            unsoundly certified. Plain norm-of-difference arithmetic
+            satisfies that (error ~eps x scale); an arccos-based theta
+            does NOT — its cancellation near theta=0 carries ~sqrt(eps)
+            absolute error (~1e-8 in f64), which silently flipped a few
+            associations per scan until the golden regression caught it
+            (NOTES.md, round 2). Do not reintroduce trig bounds here."""
             d = leaves_pts @ (Xb[:3, :3] - Xa[:3, :3]).T + (
                 Xb[:3, 3] - Xa[:3, 3]
             )
