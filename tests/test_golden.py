@@ -17,7 +17,7 @@ from madicp_tpu.models.pipeline import Pipeline
 GOLDEN = Path(__file__).parent / "golden_four_walls.npz"
 
 
-def _drive():
+def _drive(certify: bool = True):
     rng = np.random.default_rng(42)
 
     def plane(xr, yr, zr, n):
@@ -39,6 +39,7 @@ def _drive():
         sensor_hz=10.0, deskew=False, b_max=0.2, rho_ker=0.1, p_th=0.8,
         b_min=0.1, b_ratio=0.02, num_keyframes=3,
         n_points=8192, depth=12, max_leaves=4096, dtype=jnp.float64,
+        certify=certify,
     )
     poses, ratios = [], []
     for i in range(10):
@@ -56,6 +57,18 @@ def _drive():
 def test_pipeline_matches_golden():
     golden = np.load(GOLDEN)
     poses, ratios = _drive()
+    np.testing.assert_allclose(poses, golden["poses"], atol=1e-9)
+    np.testing.assert_allclose(ratios, golden["ratios"], atol=1e-9)
+
+
+def test_plain_exact_matches_golden():
+    """The PLAIN exact schedule (certify=False) must reproduce the same
+    golden: the stored npz thereby anchors certified and plain exact to
+    each other on a promotion-rich scene. This is the guard that caught
+    the arccos motion-budget soundness leak the smaller 2-keyframe
+    identity test missed (see models/pipeline.py motion_bound)."""
+    golden = np.load(GOLDEN)
+    poses, ratios = _drive(certify=False)
     np.testing.assert_allclose(poses, golden["poses"], atol=1e-9)
     np.testing.assert_allclose(ratios, golden["ratios"], atol=1e-9)
 
