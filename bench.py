@@ -11,8 +11,11 @@ re-association of every moving leaf against every keyframe
 (``pipeline.cpp:166-193``) — accelerated by the certified
 re-association (``certify=True``): descents whose path-stability margin
 provably exceeds the accumulated pose motion skip their HBM gathers and
-reuse their cached leaf, which is RESULT-IDENTICAL to re-descending
-(tests/test_pipeline.py::test_certified_matches_plain_exact). Set
+reuse their cached leaf. That is result-identical to re-descending in
+f64 (tests/test_pipeline.py::test_certified_matches_plain_exact, golden
+tests); at this bench's f32 the fp-safety window admits rare
+association flips bounded to sub-mm trajectory deltas
+(test_certified_f32_divergence_bounded). Set
 BENCH_CERTIFY=0 for the plain every-gather exact schedule, or
 BENCH_ASSOC_MODE=fast for the approximate periodic-re-descent mode
 (mm-level trajectory agreement, kept for comparison).

@@ -81,10 +81,19 @@ def main(argv=None) -> int:
     from madicp_tpu.utils.config import load_dataset_config, load_mad_params
     from madicp_tpu.utils.trajectory import write_transformed_pose
 
+    import contextlib
+
     data_cf = load_dataset_config(args.dataset_config)
     mad_cf = load_mad_params(args.mad_icp_params)
+    # bag/mcap readers hold open file handles from construction; the
+    # stack closes every reader on ANY exit path (cli.py's single-reader
+    # `with reader:` generalised to N)
+    reader_stack = contextlib.ExitStack()
     readers = [
-        make_reader(sniff_format(d), d, data_cf) for d in args.data_paths
+        reader_stack.enter_context(
+            make_reader(sniff_format(d), d, data_cf)
+        )
+        for d in args.data_paths
     ]
     n_seq = len(readers)
     lengths = [len(r) for r in readers]
@@ -114,35 +123,33 @@ def main(argv=None) -> int:
     )
     mesh = None
     if args.seq_axis:
-        from madicp_tpu.parallel.distributed import fleet_mesh
+        from madicp_tpu.parallel.mesh import make_mesh
 
-        mesh = fleet_mesh(num_keyframes_axis=1)
-        if args.seq_axis != mesh.devices.shape[0]:
-            from madicp_tpu.parallel.mesh import make_mesh
-
-            mesh = make_mesh(kf=1, seq=args.seq_axis)
+        mesh = make_mesh(kf=1, seq=args.seq_axis)
     fleet = Fleet(cfg, n_seq, mesh=mesh)
 
     E = np.asarray(data_cf.lidar_to_base, float)
     trajectories: list[list[np.ndarray]] = [[] for _ in range(n_seq)]
     t0 = time.perf_counter()
-    for i in range(n_scans):
-        stamps = np.zeros(n_seq, np.float64)
-        pts = np.zeros((n_seq, cfg.n_points, 3), np.float32)
-        val = np.zeros((n_seq, cfg.n_points), bool)
-        for s, reader in enumerate(readers):
-            ts, cloud = reader[i]
-            n = min(len(cloud), cfg.n_points)
-            if len(cloud) > cfg.n_points:
-                print(f"warning: seq {s} scan {i}: {len(cloud)} points "
-                      f"truncated to n_points={cfg.n_points}", file=sys.stderr)
-            stamps[s] = ts
-            pts[s, :n] = cloud[:n]
-            val[s, :n] = True
-        fleet.compute(stamps, pts, val)
-        for s, T in enumerate(fleet.poses()):
-            trajectories[s].append(np.asarray(T))
-        print(f"\rscan {i + 1}/{n_scans}", end="", file=sys.stderr)
+    with reader_stack:
+        for i in range(n_scans):
+            stamps = np.zeros(n_seq, np.float64)
+            pts = np.zeros((n_seq, cfg.n_points, 3), np.float32)
+            val = np.zeros((n_seq, cfg.n_points), bool)
+            for s, reader in enumerate(readers):
+                ts, cloud = reader[i]
+                n = min(len(cloud), cfg.n_points)
+                if len(cloud) > cfg.n_points:
+                    print(f"warning: seq {s} scan {i}: {len(cloud)} points "
+                          f"truncated to n_points={cfg.n_points}",
+                          file=sys.stderr)
+                stamps[s] = ts
+                pts[s, :n] = cloud[:n]
+                val[s, :n] = True
+            fleet.compute(stamps, pts, val)
+            for s, T in enumerate(fleet.poses()):
+                trajectories[s].append(np.asarray(T))
+            print(f"\rscan {i + 1}/{n_scans}", end="", file=sys.stderr)
     wall = time.perf_counter() - t0
     print(file=sys.stderr)
 

@@ -101,14 +101,17 @@ class PipelineConfig:
     # round (pipeline.cpp:166-193). With certify=True each descent also
     # records the minimum |distance to a split plane| along its path
     # (ops/tree.py search_forest return_margin); on later rounds an
-    # entry whose accumulated pose motion bound ||dt|| + theta*||m|| is
+    # entry whose accumulated per-leaf displacement ||X_b m - X_a m|| is
     # strictly below that margin PROVABLY descends to the same leaf, so
     # its HBM gathers are skipped (parked on the hot row-0 cache line)
     # and its cached payload reused — the round is still a true
     # re-association, just with the provably-unchanged lookups elided.
-    # Result-identical to certify=False (tests/test_pipeline.py pins
-    # equality); typically several-fold fewer gather rows per scan once
-    # the GN estimate starts converging.
+    # Result-identical to certify=False in f64 (pinned bitwise-level by
+    # tests/test_pipeline.py + tests/test_golden.py); in f32 the
+    # eps_cert fp-safety window admits rare sub-window association flips
+    # and identity degrades to a sub-mm trajectory bound
+    # (test_certified_f32_divergence_bounded). Typically several-fold
+    # fewer gather rows per scan once the GN estimate converges.
     certify: bool = True
 
     def __post_init__(self):
@@ -172,11 +175,12 @@ class StepOutput(NamedTuple):
     # configured max_leaves is too small for this scene and the map /
     # inlier bookkeeping is running on a truncated leaf set
     n_leaves_dropped: jnp.ndarray  # () int32
-    # (keyframe-slot, valid-leaf) tree descents this scan actually
-    # walked (gathers not parked on row 0). The plain exact schedule
-    # performs rounds x K x L_valid of them; the certified schedule's
-    # count collapses toward ~1 full round's worth as GN converges —
-    # this is the observable evidence for the certificate's skip rate
+    # (valid-keyframe, valid-leaf) tree descents this scan actually
+    # walked (gathers not parked on row 0; empty ring slots excluded in
+    # every schedule so the numbers compare). The plain exact schedule
+    # performs rounds x K_valid x L_valid of them; the certified
+    # schedule's count collapses toward ~1 full round's worth as GN
+    # converges — observable evidence for the certificate's skip rate
     n_descents: jnp.ndarray  # () int32
 
 
@@ -279,9 +283,10 @@ def icp_rounds(
 
     Returns ``(X, H_last, matched, n_descents)``; ``matched`` flags come
     from the final round only, like the reference (``pipeline.cpp:
-    172-176``); ``n_descents`` counts the (keyframe-slot, valid-leaf)
-    tree descents the schedule actually walked (local to this shard —
-    the sharded wrapper psums it).
+    172-176``); ``n_descents`` counts the (valid-keyframe, valid-leaf)
+    tree descents the schedule actually walked — empty ring slots are
+    excluded in every schedule so plain/fast/certified counts compare
+    (local to this shard; the sharded wrapper psums it).
     """
     dtype = cfg.dtype
     if reduce_terms is None:
@@ -289,6 +294,7 @@ def icp_rounds(
     K = kf_valid_f.shape[0]
     L = leaves_pts.shape[0]
     nv = jnp.sum(leaves_valid).astype(jnp.int32)  # valid moving leaves
+    kv = jnp.sum(kf_valid_f > 0).astype(jnp.int32)  # valid keyframes
 
     def accumulate(X, with_matched: bool):
         """One full association+accumulation pass (exact schedule)."""
@@ -372,7 +378,7 @@ def icp_rounds(
             1 for r in range(1, n_its - 1) if r % cfg.reassoc_every == 0
         )
         n_descents = (
-            jnp.int32(1 if n_its == 1 else 2 + n_redesc_rounds) * K * nv
+            jnp.int32(1 if n_its == 1 else 2 + n_redesc_rounds) * kv * nv
         )
         ids, payload = assoc_scan(X0, None)  # round 0: full descent
         if n_its == 1:
@@ -457,12 +463,16 @@ def icp_rounds(
             t_norm = jnp.linalg.norm(X[:3, 3])
             return 64.0 * dinfo.eps * (1.0 + t_norm + r_norm)  # (L,)
 
+        kf_live = (kf_valid_f > 0)[:, None]  # (K, 1)
+
         def count_uncert(uncert):
-            return jnp.sum(uncert & leaves_valid[None, :]).astype(jnp.int32)
+            return jnp.sum(
+                uncert & leaves_valid[None, :] & kf_live
+            ).astype(jnp.int32)
 
         ones_kl = jnp.ones((K, L), bool)
         ids, payload, slack = assoc_certified(X0, ones_kl)
-        n_descents = jnp.int32(K) * nv  # round 0: everything descends
+        n_descents = kv * nv  # round 0: every live entry descends
         if n_its == 1:
             H_last, b_last, matched = terms_scan(X0, payload, True)
             X = gn_se3_step(X0, H_last, b_last)
@@ -505,7 +515,7 @@ def icp_rounds(
         X = jax.lax.fori_loop(0, n_its - 1, one_round, X0)
         H_last, b_last, matched = accumulate(X, with_matched=True)
         X = gn_se3_step(X, H_last, b_last)
-        n_descents = jnp.int32(n_its) * K * nv  # every round, everything
+        n_descents = jnp.int32(n_its) * kv * nv  # every round, everything
     else:
         X = X0
         H_last = jnp.zeros((6, 6), dtype)
@@ -952,7 +962,7 @@ class Pipeline:
         return float(np.asarray(self._last.inlier_ratio)) if self._last else 0.0
 
     def descents(self) -> int:
-        """(keyframe-slot, valid-leaf) tree descents the last scan's ICP
+        """(valid-keyframe, valid-leaf) tree descents the last scan's ICP
         actually walked. With the certified exact schedule this collapses
         toward one full round's worth (K x n_leaves) as GN converges —
         the measurable evidence that the certificate is doing its job;

@@ -50,6 +50,13 @@ def save_pipeline(path, pipe, compress: bool = False, background: bool = False):
             tmp,
             __config__=json.dumps(cfg),
             __realtime__=np.asarray(pipe.realtime),
+            # realtime-calibration host state lives OUTSIDE cfg: the
+            # CONFIGURED iteration ceiling (cfg.max_icp_iterations may be
+            # a temporarily shrunk value at save time) and the recal
+            # cadence — without these a resumed run could never restore
+            # its budget past the shrunk count
+            __rt_its_max__=np.asarray(pipe._rt_its_max),
+            __rt_every__=np.asarray(pipe._rt_every),
             **arrays,
         )
         os.replace(tmp, path)
@@ -97,6 +104,12 @@ def load_pipeline(path):
         # parsed config as well so NO field can silently fall back to a
         # default if the ctor signature lags behind PipelineConfig
         pipe.cfg = cfg
+        # restore the realtime-calibration ceiling/cadence (older
+        # checkpoints lack these keys: fall back to the saved cfg value,
+        # the pre-fix behavior)
+        if "__rt_its_max__" in z:
+            pipe._rt_its_max = int(z["__rt_its_max__"])
+            pipe._rt_every = int(z["__rt_every__"])
         # eval_shape: the treedef/dtypes without materialising another
         # ~1 GB state on device (Pipeline.__init__ already made one)
         proto = jax.eval_shape(lambda: init_state(cfg))

@@ -22,7 +22,9 @@ real data dependencies (the GN update feeds the next round); sync via
 jax.device_get; same-process back-to-back comparisons only; the big
 arenas are jit ARGUMENTS.
 
-Usage: python scripts/perf_probe.py [scan flat batch] [--steps N]
+Usage: python scripts/perf_probe.py [variants: scan flat batch scan2]
+       [--calls N]   (timed calls per variant; default 4)
+Default variants: scan flat scan2 (scan2 = repeat control for drift).
 """
 
 from __future__ import annotations
@@ -48,12 +50,23 @@ def main():
     )
     from madicp_tpu.ops.tree import SearchTree, build_tree, get_leaves
 
-    variants = [a for a in sys.argv[1:] if not a.startswith("--")] or [
-        "scan",
-        "flat",
-        "scan2",
-    ]
+    args = sys.argv[1:]
     n_calls = 4
+    variants = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--calls":
+            n_calls = int(args[i + 1])
+            i += 2
+        elif args[i].startswith("--"):
+            raise SystemExit(f"unknown option {args[i]!r} (see docstring)")
+        else:
+            variants.append(args[i])
+            i += 1
+    variants = variants or ["scan", "flat", "scan2"]
+    unknown = [v for v in variants if v not in ("scan", "scan2", "flat", "batch")]
+    if unknown:
+        raise SystemExit(f"unknown variants {unknown}; pick from scan scan2 flat batch")
 
     K, N, DEPTH, L = 16, 131072, 16, 32768
     B_MAX, B_MIN, B_RATIO, RHO = 0.2, 0.1, 0.02, 0.1

@@ -79,8 +79,30 @@ def discover_unsharded() -> list[str]:
     return extra
 
 
+def _merge_k(shard_args: list[str], extra_args: list[str]) -> list[str]:
+    """pytest's -k is last-wins, so a user -k would silently REPLACE a
+    shard's split filter (duplicating test_pipeline.py selections across
+    shards); AND-combine them instead."""
+    def pop_k(argv):
+        for i, a in enumerate(argv):
+            if a == "-k" and i + 1 < len(argv):
+                expr = argv[i + 1]
+                return expr, argv[:i] + argv[i + 2:]
+        return None, argv
+
+    shard_k, shard_rest = pop_k(list(shard_args))
+    user_k, user_rest = pop_k(list(extra_args))
+    merged = shard_rest + user_rest
+    if shard_k and user_k:
+        merged += ["-k", f"({shard_k}) and ({user_k})"]
+    elif shard_k or user_k:
+        merged += ["-k", shard_k or user_k]
+    return merged
+
+
 def run_shard(files: list[str], idx: int, extra_args: list[str]) -> int:
-    cmd = [sys.executable, "-m", "pytest", "-q", *files, *extra_args]
+    merged = _merge_k(files, extra_args)
+    cmd = [sys.executable, "-m", "pytest", "-q", *merged]
     print(f"[shard {idx}] {' '.join(files)}", flush=True)
     t0 = time.time()
     rc = subprocess.call(cmd, cwd=REPO)

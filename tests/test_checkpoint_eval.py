@@ -19,11 +19,11 @@ def _scan(rng, four_walls, i):
     )
 
 
-def _make_pipe():
+def _make_pipe(**kw):
     return Pipeline(
         sensor_hz=10.0, deskew=False, b_max=0.2, rho_ker=0.1, p_th=0.8,
         b_min=0.1, b_ratio=0.02, num_keyframes=2,
-        n_points=8192, depth=11, max_leaves=4096,
+        n_points=8192, depth=11, max_leaves=4096, **kw,
     )
 
 
@@ -56,6 +56,27 @@ def test_checkpoint_preserves_config(tmp_path, rng, four_walls):
     resumed = load_pipeline(tmp_path / "ck.npz")
     assert resumed.cfg == pipe.cfg
     assert resumed.realtime == pipe.realtime
+
+
+def test_checkpoint_preserves_realtime_ceiling(tmp_path, rng, four_walls):
+    """A checkpoint taken while the anytime budget is SHRUNK must not
+    permanently cap the resumed run at the shrunk iteration count: the
+    configured ceiling (_rt_its_max) and recal cadence travel with the
+    checkpoint, so the restore branch of the rolling recalibration can
+    still raise the budget back once headroom returns."""
+    import dataclasses
+
+    pipe = _make_pipe(realtime=True, max_icp_iterations=9,
+                      realtime_recal_every=5)
+    pipe.compute(0.0, _scan(rng, four_walls, 0))
+    # simulate a post-spike state: budget shrunk to 2 of the 9 configured
+    pipe.cfg = dataclasses.replace(pipe.cfg, max_icp_iterations=2)
+    save_pipeline(tmp_path / "ck.npz", pipe)
+
+    resumed = load_pipeline(tmp_path / "ck.npz")
+    assert resumed.cfg.max_icp_iterations == 2  # resumes where it was
+    assert resumed._rt_its_max == 9             # ...but can recover fully
+    assert resumed._rt_every == 5
 
 
 def _trajectory(n, step=1.0, yaw_rate=0.0):

@@ -171,10 +171,30 @@ def test_certified_matches_plain_exact(rng):
     # observability: the plain exact schedule walks every descent every
     # round; the certificate must have skipped a large share of them
     # once GN converges (this is the mechanism behind its speed)
-    K = 2
-    full = b.cfg.max_icp_iterations * K * int(np.asarray(b._last.n_leaves))
-    assert b.descents() == full
+    kv = int(np.asarray(b.state.kf_valid.sum()))  # live keyframes
+    full = b.cfg.max_icp_iterations * kv * int(np.asarray(b._last.n_leaves))
+    assert kv > 0 and b.descents() == full
     assert 0 < a.descents() < full // 2
+
+
+def test_certified_f32_divergence_bounded(rng):
+    """At f32 (the shipped bench/production dtype) the eps_cert safety
+    window is wide enough that a FEW near-zero-slack entries can keep a
+    cached association a fresh descent would flip at the fp level — both
+    are valid approximate-NN answers, but exactness degrades to a BOUND:
+    certified f32 must track plain-exact f32 to sub-mm over a multi-scan
+    drive with promotions. (Exactness itself is pinned in f64 by
+    test_certified_matches_plain_exact and the golden tests.)"""
+    scans, _ = synthetic_room_scans(rng, n_scans=8, step=0.06)
+    a = _make_pipeline(assoc_mode="exact", certify=True, num_keyframes=2,
+                       dtype=jnp.float32)
+    b = _make_pipeline(assoc_mode="exact", certify=False, num_keyframes=2,
+                       dtype=jnp.float32)
+    for i, scan in enumerate(scans):
+        a.compute(0.1 * i, scan)
+        b.compute(0.1 * i, scan)
+        d = np.abs(a.current_pose() - b.current_pose()).max()
+        assert d < 5e-4, f"scan {i}: certified f32 drifted {d:.2e} from plain"
 
 
 def test_realtime_budget_degrades_and_recovers(rng, four_walls):
