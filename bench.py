@@ -204,6 +204,15 @@ def main():
 
     scans_per_sec = max(rates)
     realtime_budget_hz = 10.0  # reference anytime-realtime sensor rate
+    schedule = (
+        "fast" if assoc_mode == "fast"
+        else ("exact-certified" if certify else "exact")
+    )
+    print(
+        f"windows: {[round(r, 2) for r in rates]} scans/s  "
+        f"schedule={schedule}",
+        file=os.sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -211,6 +220,7 @@ def main():
                 "value": round(scans_per_sec, 3),
                 "unit": "scans/s",
                 "vs_baseline": round(scans_per_sec / realtime_budget_hz, 3),
+                "schedule": schedule,
             }
         )
     )
