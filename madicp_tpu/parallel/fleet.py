@@ -24,14 +24,7 @@ from madicp_tpu.models.pipeline import (
 )
 
 
-def _make_global(x, sharding):
-    """Build a (possibly cross-process) global array from a value every
-    process holds in full: each addressable shard is sliced out locally.
-    Single-process shardings take the plain ``device_put`` path."""
-    x = np.asarray(x)
-    if len(sharding.device_set) == len(sharding.addressable_devices):
-        return jax.device_put(x, sharding)
-    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+from madicp_tpu.parallel.mesh import make_global as _make_global
 
 
 class Fleet:

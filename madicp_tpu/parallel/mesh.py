@@ -11,6 +11,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from madicp_tpu.models.pipeline import PipelineState
 
 
+def make_global(x, sharding: NamedSharding):
+    """Build a (possibly cross-process) global array from a value every
+    process holds in full: each addressable shard is sliced out locally.
+    Single-process shardings take the plain ``device_put`` path
+    (``device_put`` cannot target non-addressable devices)."""
+    x = np.asarray(x)
+    if len(sharding.device_set) == len(sharding.addressable_devices):
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def read_replicated(arr) -> np.ndarray:
+    """Host value of a replicated global array (works when the sharding
+    spans non-addressable devices, where ``np.asarray`` would raise)."""
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        return np.asarray(arr.addressable_shards[0].data)
+    return np.asarray(arr)
+
+
 def make_mesh(
     kf: int = 1,
     seq: int = 1,

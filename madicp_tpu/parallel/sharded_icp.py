@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -146,6 +147,13 @@ def make_sharded_pipeline_step(cfg: PipelineConfig, mesh: Mesh):
     )
 
     def place_state(state: PipelineState) -> PipelineState:
-        return jax.device_put(state, shardings)
+        # leaf-wise: device_put cannot target non-addressable devices,
+        # so cross-process meshes build each global array from the
+        # locally-held full value (parallel/mesh.py::make_global)
+        from madicp_tpu.parallel.mesh import make_global
+
+        return jax.tree.map(
+            lambda a, s: make_global(np.asarray(a), s), state, shardings
+        )
 
     return step, place_state

@@ -57,6 +57,59 @@ def make_scans():
     return stamps, points, valid
 
 
+def run_kf_sharded(mesh=None):
+    """Drive the single-sequence KEYFRAME-sharded pipeline: the per-GN-
+    round psum of the (6x6, 6) normal equations crosses the process
+    boundary — the ICI-collective analog of the reference's OpenMP
+    reduction (mad_icp.cpp:105-110), executed over a real 2-process
+    runtime. Returns the (4, 4) final pose."""
+    import jax.numpy as jnp
+
+    from madicp_tpu.models.pipeline import (
+        PipelineConfig,
+        init_state,
+        pipeline_step,
+    )
+
+    cfg = PipelineConfig(
+        n_points=N_POINTS,
+        depth=DEPTH,
+        max_leaves=MAX_LEAVES,
+        num_keyframes=4,  # one keyframe slot per global device
+        dtype=jnp.float64,
+    )
+    stamps, points, valid = make_scans()  # reuse sequence 0's stream
+
+    if mesh is None:
+        state = init_state(cfg)
+        for i in range(N_SCANS):
+            state, _ = pipeline_step(
+                cfg,
+                state,
+                jnp.asarray(points[i, 0]),
+                jnp.asarray(valid[i, 0]),
+                jnp.asarray(stamps[i, 0], cfg.dtype),
+            )
+        return np.asarray(state.X)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from madicp_tpu.parallel.mesh import make_global, read_replicated
+    from madicp_tpu.parallel.sharded_icp import make_sharded_pipeline_step
+
+    step, place = make_sharded_pipeline_step(cfg, mesh)
+    state = place(init_state(cfg))
+    rep = NamedSharding(mesh, P())
+    for i in range(N_SCANS):
+        state, _ = step(
+            state,
+            make_global(points[i, 0], rep),
+            make_global(valid[i, 0], rep),
+            make_global(np.asarray(stamps[i, 0]), rep),
+        )
+    return read_replicated(state.X)
+
+
 def run_fleet(mesh=None):
     """Drive the deterministic fleet; returns (N_SEQ, 4, 4) final poses."""
     import jax.numpy as jnp
@@ -87,6 +140,7 @@ def main():
     import os
 
     coordinator, n_proc, pid, out_path = sys.argv[1:5]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "seq"
     n_proc, pid = int(n_proc), int(pid)
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -120,15 +174,29 @@ def main():
     assert topo["global_devices"] == n_proc * DEVICES_PER_PROC, topo
     assert topo["local_devices"] == DEVICES_PER_PROC, topo
 
-    mesh = fleet_mesh(num_keyframes_axis=1)  # (seq=4, kf=1) across processes
-    cross = {d.process_index for d in mesh.devices.flat}
-    assert cross == set(range(n_proc)), cross
+    if mode == "kf":
+        # keyframe axis spans BOTH processes: the per-round psum(H, b)
+        # crosses the process boundary
+        from madicp_tpu.parallel.mesh import make_mesh
 
-    poses = run_fleet(mesh)  # every process gets the full gathered result
-    assert poses.shape == (N_SEQ, 4, 4)
-    assert np.isfinite(poses).all()
-    if pid == 0:
-        np.save(out_path, poses)
+        mesh = make_mesh(kf=n_proc * DEVICES_PER_PROC, seq=1)
+        cross = {d.process_index for d in mesh.devices.flat}
+        assert cross == set(range(n_proc)), cross
+        pose = run_kf_sharded(mesh)
+        assert pose.shape == (4, 4)
+        assert np.isfinite(pose).all()
+        if pid == 0:
+            np.save(out_path, pose)
+    else:
+        mesh = fleet_mesh(num_keyframes_axis=1)  # (seq=4, kf=1) across procs
+        cross = {d.process_index for d in mesh.devices.flat}
+        assert cross == set(range(n_proc)), cross
+
+        poses = run_fleet(mesh)  # every process gets the gathered result
+        assert poses.shape == (N_SEQ, 4, 4)
+        assert np.isfinite(poses).all()
+        if pid == 0:
+            np.save(out_path, poses)
     jax.distributed.shutdown()
 
 

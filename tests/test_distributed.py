@@ -29,9 +29,10 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_fleet(tmp_path):
+def _launch_workers(tmp_path, mode: str) -> np.ndarray:
+    """Run two coordinated worker processes; return pid-0's saved result."""
     port = _free_port()
-    out = tmp_path / "poses.npy"
+    out = tmp_path / "result.npy"
 
     # children manage their own JAX env (2 virtual CPU devices each)
     env = {
@@ -53,6 +54,7 @@ def test_two_process_fleet(tmp_path):
                     "2",
                     str(pid),
                     str(out),
+                    mode,
                 ],
                 cwd=REPO,
                 env=env,
@@ -72,8 +74,11 @@ def test_two_process_fleet(tmp_path):
                 p.kill()
         for log in logs:
             log.close()
+    return np.load(out)
 
-    poses = np.load(out)
+
+def test_two_process_fleet(tmp_path):
+    poses = _launch_workers(tmp_path, "seq")
 
     # control: the same fleet in THIS process (virtual 8-device mesh is
     # irrelevant here — run unsharded; test_parallel pins sharded ==
@@ -83,6 +88,20 @@ def test_two_process_fleet(tmp_path):
     control = run_fleet(mesh=None)
     assert poses.shape == control.shape == (N_SEQ, 4, 4)
     np.testing.assert_allclose(poses, control, atol=1e-9)
+
+
+def test_two_process_kf_sharded(tmp_path):
+    """The keyframe axis — the reference's OpenMP reduction axis, our
+    psum axis — spans a REAL process boundary: every GN round's (H, b)
+    reduction crosses it. Pinned against the unsharded single-process
+    pipeline."""
+    pose = _launch_workers(tmp_path, "kf")
+
+    from distributed_worker import run_kf_sharded
+
+    control = run_kf_sharded(mesh=None)
+    assert pose.shape == control.shape == (4, 4)
+    np.testing.assert_allclose(pose, control, atol=1e-9)
 
 
 def _tail(tmp_path, procs):
