@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exact mode: disable the certified re-association "
                         "(skip provably-unchanged descents; result-"
                         "identical, several-fold faster)")
+    p.add_argument("--deskew-mode", type=str, default="reference",
+                   choices=("reference", "binned"),
+                   help="deskew semantics (when the dataset enables "
+                        "deskew): 'reference' = the reference's literal "
+                        "once-per-point azimuth-bin advance; 'binned' = "
+                        "pure binning, sort-free (identical on bin-dense "
+                        "sweeps)")
     p.add_argument("--max-scans", type=int, default=0,
                    help="stop after this many scans (0 = all)")
     p.add_argument("--no-prefetch", action="store_true",
@@ -147,6 +154,7 @@ def main(argv=None) -> int:
             assoc_mode=args.assoc_mode,
             reassoc_every=args.reassoc_every,
             certify=not args.no_certify,
+            deskew_mode=args.deskew_mode,
         )
 
     visualizer = None
