@@ -95,6 +95,7 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", 12))
     assoc_mode = os.environ.get("BENCH_ASSOC_MODE", "exact")
     certify = os.environ.get("BENCH_CERTIFY", "1") != "0"
+    certify_compact = int(os.environ.get("BENCH_CERTIFY_COMPACT", 0))
     reassoc_every = int(os.environ.get("BENCH_REASSOC_EVERY", 7))
     chunk = int(os.environ.get("BENCH_CHUNK", 1))
 
@@ -114,6 +115,7 @@ def main():
         assoc_mode=assoc_mode,
         reassoc_every=reassoc_every,
         certify=certify,
+        certify_compact=certify_compact,
     )
 
     rng = np.random.default_rng(0)

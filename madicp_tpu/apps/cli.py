@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exact mode: disable the certified re-association "
                         "(skip provably-unchanged descents; result-"
                         "identical, several-fold faster)")
+    p.add_argument("--certify-compact", type=int, default=0,
+                   help="certified exact mode: compact each round's "
+                        "uncertified entries into a static buffer of this "
+                        "size and descend only those (0 = off; see "
+                        "PipelineConfig.certify_compact)")
     p.add_argument("--deskew-mode", type=str, default="reference",
                    choices=("reference", "binned"),
                    help="deskew semantics (when the dataset enables "
@@ -154,6 +159,7 @@ def main(argv=None) -> int:
             assoc_mode=args.assoc_mode,
             reassoc_every=args.reassoc_every,
             certify=not args.no_certify,
+            certify_compact=args.certify_compact,
             deskew_mode=args.deskew_mode,
         )
 

@@ -113,6 +113,18 @@ class PipelineConfig:
     # (test_certified_f32_divergence_bounded). Typically several-fold
     # fewer gather rows per scan once the GN estimate converges.
     certify: bool = True
+    # certify_compact > 0 additionally COMPACTS each certified round's
+    # uncertified entries into a static buffer of that size
+    # (jnp.nonzero) and descends only the buffer against a flat
+    # (K*arena,) forest view with per-query base offsets — the parked
+    # row-0 gathers of the plain certified sweep are not issued at all.
+    # Rounds whose uncertified count exceeds the buffer fall back to the
+    # full parked sweep (sound: never skips an uncertified entry).
+    # Result-equivalence is pinned by tests; whether it is FASTER than
+    # parked sweeps is a hardware question (issue-bound vs cache-bound
+    # gathers, flat-view gather penalty — NOTES.md floor analysis), so
+    # it ships OFF by default pending chip measurement.
+    certify_compact: int = 0
 
     def __post_init__(self):
         if self.deskew_mode not in ("reference", "binned"):
@@ -130,6 +142,10 @@ class PipelineConfig:
         if self.reassoc_backup < 0:
             raise ValueError(
                 f"reassoc_backup must be >= 0, got {self.reassoc_backup}"
+            )
+        if self.certify_compact < 0:
+            raise ValueError(
+                f"certify_compact must be >= 0, got {self.certify_compact}"
             )
 
     @property
@@ -470,6 +486,63 @@ def icp_rounds(
                 uncert & leaves_valid[None, :] & kf_live
             ).astype(jnp.int32)
 
+        def merge(uncert, new, old):
+            """Adopt fresh values where re-descended, keep cache elsewhere."""
+            ids2, payload2, margin2 = new
+            ids, payload, slack = old
+            return (
+                jnp.where(uncert, ids2, ids),
+                jnp.where(uncert[..., None], payload2, payload),
+                jnp.where(uncert, margin2, slack),
+            )
+
+        U = min(cfg.certify_compact, K * L) if cfg.certify_compact else 0
+        if U:
+            arena_rows = kf_tree.nav.shape[1]
+            flat_nav = kf_tree.nav.reshape(K * arena_rows, NAV_WIDTH)
+
+        def reassociate(X, uncert, ids, payload, slack):
+            """One certified round's re-association: fresh descents for
+            the uncertified entries, cached results elsewhere."""
+            if not U:
+                return merge(
+                    uncert, assoc_certified(X, uncert), (ids, payload, slack)
+                )
+
+            ml = leaves_pts @ X[:3, :3].T + X[:3, 3]
+            need = uncert & leaves_valid[None, :] & kf_live  # (K, L)
+
+            def compact_path():
+                idx = jnp.nonzero(
+                    need.reshape(-1), size=U, fill_value=K * L
+                )[0]
+                live = idx < K * L
+                kf_of = jnp.where(live, idx // L, 0).astype(jnp.int32)
+                leaf_of = jnp.where(live, idx % L, 0).astype(jnp.int32)
+                ids_u, payload_u, margin_u = associate_packed(
+                    flat_nav, kf_of * arena_rows, cfg.depth,
+                    ml[leaf_of], live, return_margin=True,
+                )
+                drop = dict(mode="drop")  # fill idx K*L is out of bounds
+                return (
+                    ids.reshape(-1).at[idx].set(ids_u, **drop).reshape(K, L),
+                    payload.reshape(K * L, -1).at[idx].set(
+                        payload_u, **drop
+                    ).reshape(K, L, -1),
+                    slack.reshape(-1).at[idx].set(margin_u, **drop)
+                    .reshape(K, L),
+                )
+
+            def full_path():
+                return merge(
+                    uncert, assoc_certified(X, uncert), (ids, payload, slack)
+                )
+
+            # the compact buffer must hold EVERY live uncertified entry
+            # or results would be silently stale — overflow rounds run
+            # the full parked sweep instead (typical early rounds)
+            return jax.lax.cond(jnp.sum(need) <= U, compact_path, full_path)
+
         ones_kl = jnp.ones((K, L), bool)
         ids, payload, slack = assoc_certified(X0, ones_kl)
         n_descents = kv * nv  # round 0: every live entry descends
@@ -484,10 +557,9 @@ def icp_rounds(
                 Xp, X, ids, payload, slack, nd = carry
                 slack = slack - motion_bound(Xp, X)[None, :]
                 uncert = slack <= eps_cert(X)[None, :]
-                ids2, payload2, margin2 = assoc_certified(X, uncert)
-                ids = jnp.where(uncert, ids2, ids)
-                payload = jnp.where(uncert[..., None], payload2, payload)
-                slack = jnp.where(uncert, margin2, slack)
+                ids, payload, slack = reassociate(
+                    X, uncert, ids, payload, slack
+                )
                 H, b = terms_scan(X, payload, False)
                 nd = nd + count_uncert(uncert)
                 return (X, gn_se3_step(X, H, b), ids, payload, slack, nd)
@@ -502,8 +574,7 @@ def icp_rounds(
             # 172-176)
             slack = slack - motion_bound(Xp, X)[None, :]
             uncert = slack <= eps_cert(X)[None, :]
-            _, payload2, _ = assoc_certified(X, uncert)
-            payload = jnp.where(uncert[..., None], payload2, payload)
+            _, payload, _ = reassociate(X, uncert, ids, payload, slack)
             n_descents = n_descents + count_uncert(uncert)
             H_last, b_last, matched = terms_scan(X, payload, True)
             X = gn_se3_step(X, H_last, b_last)
@@ -741,6 +812,7 @@ class Pipeline:
         deskew_mode: str = "reference",
         realtime_recal_every: int = 32,
         certify: bool = True,
+        certify_compact: int = 0,
     ):
         del num_threads
         self.cfg = PipelineConfig(
@@ -762,6 +834,7 @@ class Pipeline:
             reassoc_every=int(reassoc_every),
             reassoc_backup=int(reassoc_backup),
             certify=bool(certify),
+            certify_compact=int(certify_compact),
         )
         self.realtime = bool(realtime)
         self.state = init_state(self.cfg)

@@ -177,6 +177,37 @@ def test_certified_matches_plain_exact(rng):
     assert 0 < a.descents() < full // 2
 
 
+def test_certified_compact_matches_plain_exact(rng):
+    """certify_compact (uncertified entries compacted into a static
+    buffer and descended against the flat forest view) must match both
+    the parked-sweep certified schedule and plain exact. Run at two
+    buffer sizes — one so small most rounds OVERFLOW (full-sweep
+    fallback branch), one large enough that converged rounds fit
+    (compact branch) — so both lax.cond paths execute."""
+    scans, _ = synthetic_room_scans(rng, n_scans=6, step=0.06)
+    b = _make_pipeline(assoc_mode="exact", certify=False, num_keyframes=2)
+    c = _make_pipeline(assoc_mode="exact", certify=True, num_keyframes=2)
+    compacts = [
+        _make_pipeline(assoc_mode="exact", certify=True, num_keyframes=2,
+                       certify_compact=U)
+        for U in (16, 512)
+    ]
+    for i, scan in enumerate(scans):
+        b.compute(0.1 * i, scan)
+        c.compute(0.1 * i, scan)
+        for a in compacts:
+            a.compute(0.1 * i, scan)
+            np.testing.assert_allclose(
+                a.current_pose(), b.current_pose(), atol=1e-9,
+                err_msg=f"scan {i} U={a.cfg.certify_compact}: "
+                        f"compact certified diverged from plain",
+            )
+            assert a.inlier_ratio() == b.inlier_ratio(), f"scan {i}"
+    # same descent accounting as the parked certified schedule
+    for a in compacts:
+        assert a.descents() == c.descents()
+
+
 def test_certified_f32_divergence_bounded(rng):
     """At f32 (the shipped bench/production dtype) the eps_cert safety
     window is wide enough that a FEW near-zero-slack entries can keep a
