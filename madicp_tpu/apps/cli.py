@@ -57,10 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(skip provably-unchanged descents; result-"
                         "identical, several-fold faster)")
     p.add_argument("--certify-compact", type=int, default=0,
-                   help="certified exact mode: compact each round's "
-                        "uncertified entries into a static buffer of this "
-                        "size and descend only those (0 = off; see "
-                        "PipelineConfig.certify_compact)")
+                   help="certified exact mode: compact each keyframe's "
+                        "uncertified entries into a per-keyframe static "
+                        "buffer of this size and descend only those "
+                        "(0 = off; see PipelineConfig.certify_compact)")
     p.add_argument("--deskew-mode", type=str, default="reference",
                    choices=("reference", "binned"),
                    help="deskew semantics (when the dataset enables "

@@ -113,17 +113,18 @@ class PipelineConfig:
     # (test_certified_f32_divergence_bounded). Typically several-fold
     # fewer gather rows per scan once the GN estimate converges.
     certify: bool = True
-    # certify_compact > 0 additionally COMPACTS each certified round's
-    # uncertified entries into a static buffer of that size
-    # (jnp.nonzero) and descends only the buffer against a flat
-    # (K*arena,) forest view with per-query base offsets — the parked
-    # row-0 gathers of the plain certified sweep are not issued at all.
-    # Rounds whose uncertified count exceeds the buffer fall back to the
+    # certify_compact > 0 additionally COMPACTS each keyframe's
+    # uncertified entries into a PER-KEYFRAME static buffer of that
+    # size (jnp.nonzero) and descends only the buffer against that
+    # keyframe's own arena — the parked row-0 gathers of the plain
+    # certified sweep are not issued at all (TPU descent gathers are
+    # issue-bound: parking makes rows cheaper, not fewer). Keyframes
+    # whose uncertified count exceeds the buffer fall back to their
     # full parked sweep (sound: never skips an uncertified entry).
-    # Result-equivalence is pinned by tests; whether it is FASTER than
-    # parked sweeps is a hardware question (issue-bound vs cache-bound
-    # gathers, flat-view gather penalty — NOTES.md floor analysis), so
-    # it ships OFF by default pending chip measurement.
+    # Result-equivalence is pinned by tests. An earlier variant with
+    # ONE global buffer against a flat (K*arena,) forest view measured
+    # ~5x SLOWER than the parked sweep on the chip (whole-forest
+    # gather operands are penalized) — hence per-keyframe.
     certify_compact: int = 0
 
     def __post_init__(self):
@@ -486,62 +487,67 @@ def icp_rounds(
                 uncert & leaves_valid[None, :] & kf_live
             ).astype(jnp.int32)
 
-        def merge(uncert, new, old):
-            """Adopt fresh values where re-descended, keep cache elsewhere."""
-            ids2, payload2, margin2 = new
-            ids, payload, slack = old
-            return (
-                jnp.where(uncert, ids2, ids),
-                jnp.where(uncert[..., None], payload2, payload),
-                jnp.where(uncert, margin2, slack),
-            )
-
-        U = min(cfg.certify_compact, K * L) if cfg.certify_compact else 0
-        if U:
-            arena_rows = kf_tree.nav.shape[1]
-            flat_nav = kf_tree.nav.reshape(K * arena_rows, NAV_WIDTH)
+        U = min(cfg.certify_compact, L) if cfg.certify_compact else 0
 
         def reassociate(X, uncert, ids, payload, slack):
             """One certified round's re-association: fresh descents for
-            the uncertified entries, cached results elsewhere."""
-            if not U:
-                return merge(
-                    uncert, assoc_certified(X, uncert), (ids, payload, slack)
-                )
+            the uncertified entries, cached results elsewhere.
 
+            With ``certify_compact`` (= per-KEYFRAME buffer size U) each
+            keyframe whose live uncertified count fits compacts those
+            leaves into a (U,) buffer and descends ONLY them — the
+            parked row-0 gathers of the full sweep are not issued at
+            all, and the gather operand stays that keyframe's own arena
+            (a flat whole-forest view with per-query base offsets
+            measured ~5x SLOWER than the parked sweep on the chip —
+            TPU descent gathers pay heavily for a huge operand, NOTES).
+            A keyframe whose count overflows U falls back to its full
+            parked sweep (sound by construction: no uncertified entry
+            is ever skipped)."""
             ml = leaves_pts @ X[:3, :3].T + X[:3, 3]
-            need = uncert & leaves_valid[None, :] & kf_live  # (K, L)
 
-            def compact_path():
-                idx = jnp.nonzero(
-                    need.reshape(-1), size=U, fill_value=K * L
-                )[0]
-                live = idx < K * L
-                kf_of = jnp.where(live, idx // L, 0).astype(jnp.int32)
-                leaf_of = jnp.where(live, idx % L, 0).astype(jnp.int32)
-                ids_u, payload_u, margin_u = associate_packed(
-                    flat_nav, kf_of * arena_rows, cfg.depth,
-                    ml[leaf_of], live, return_margin=True,
-                )
-                drop = dict(mode="drop")  # fill idx K*L is out of bounds
-                return (
-                    ids.reshape(-1).at[idx].set(ids_u, **drop).reshape(K, L),
-                    payload.reshape(K * L, -1).at[idx].set(
-                        payload_u, **drop
-                    ).reshape(K, L, -1),
-                    slack.reshape(-1).at[idx].set(margin_u, **drop)
-                    .reshape(K, L),
-                )
+            def per_kf(_, kf):
+                tree_fields, unc, ids_k, payload_k, slack_k = kf
+                nav = SearchTree(*tree_fields).nav
+                need = unc & leaves_valid
 
-            def full_path():
-                return merge(
-                    uncert, assoc_certified(X, uncert), (ids, payload, slack)
-                )
+                def full_kf():
+                    ids2, payload2, margin2 = associate_packed(
+                        nav, 0, cfg.depth, ml, need, return_margin=True
+                    )
+                    return (
+                        jnp.where(need, ids2, ids_k),
+                        jnp.where(need[:, None], payload2, payload_k),
+                        jnp.where(need, margin2, slack_k),
+                    )
 
-            # the compact buffer must hold EVERY live uncertified entry
-            # or results would be silently stale — overflow rounds run
-            # the full parked sweep instead (typical early rounds)
-            return jax.lax.cond(jnp.sum(need) <= U, compact_path, full_path)
+                if not U:
+                    out = full_kf()
+                else:
+                    def compact_kf():
+                        idx = jnp.nonzero(need, size=U, fill_value=L)[0]
+                        live = idx < L
+                        ids_u, payload_u, margin_u = associate_packed(
+                            nav, 0, cfg.depth,
+                            ml[jnp.minimum(idx, L - 1)], live,
+                            return_margin=True,
+                        )
+                        drop = dict(mode="drop")  # fill idx L is OOB
+                        return (
+                            ids_k.at[idx].set(ids_u, **drop),
+                            payload_k.at[idx].set(payload_u, **drop),
+                            slack_k.at[idx].set(margin_u, **drop),
+                        )
+
+                    out = jax.lax.cond(
+                        jnp.sum(need) <= U, compact_kf, full_kf
+                    )
+                return 0, out
+
+            _, out = jax.lax.scan(
+                per_kf, 0, (tuple(kf_tree), uncert, ids, payload, slack)
+            )
+            return out
 
         ones_kl = jnp.ones((K, L), bool)
         ids, payload, slack = assoc_certified(X0, ones_kl)
