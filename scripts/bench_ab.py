@@ -91,31 +91,43 @@ def main():
             p, v, depth=depth, b_max=cfg_probe.b_max, b_min=cfg_probe.b_min
         )[0]
     )
-    kf_trees = []
-    for k in range(num_keyframes):
-        t = np.array([1.4 * (k - num_keyframes), 0.05 * (k - num_keyframes), 0.0])
-        yaw = 0.004 * (k - num_keyframes)
-        cs, sn = np.cos(yaw), np.sin(yaw)
-        Rk = jnp.asarray(
-            np.array([[cs, -sn, 0], [sn, cs, 0], [0, 0, 1.0]], np.float32)
-        )
-        tree = build(*pad(scan_at(k - num_keyframes)))
-        kf_trees.append(transform_tree(tree, Rk, jnp.asarray(t, jnp.float32)))
-    kf_stacked = jax.tree.map(lambda *a: jnp.stack(a), *kf_trees)
+    kf_scans = {
+        k: scan_at(k - num_keyframes) for k in range(num_keyframes)
+    }
+
+    def fresh_ring():
+        # rebuilt on device per variant: the odometry step DONATES the
+        # ring buffers, so variants must not share one
+        kf_trees = []
+        for k in range(num_keyframes):
+            t = np.array(
+                [1.4 * (k - num_keyframes), 0.05 * (k - num_keyframes), 0.0]
+            )
+            yaw = 0.004 * (k - num_keyframes)
+            cs, sn = np.cos(yaw), np.sin(yaw)
+            Rk = jnp.asarray(
+                np.array([[cs, -sn, 0], [sn, cs, 0], [0, 0, 1.0]], np.float32)
+            )
+            tree = build(*pad(kf_scans[k]))
+            kf_trees.append(
+                transform_tree(tree, Rk, jnp.asarray(t, jnp.float32))
+            )
+        return jax.tree.map(lambda *a: jnp.stack(a), *kf_trees)
 
     total = n_warmup + n_steps
-    staged = None
+    scans_np = {i: scan_at(i) for i in range(1, 1 + total)}
 
     results = []
     for vi, spec in enumerate(variants):
         pipe = make_pipe(spec)
         pipe.compute(0.0, scan_at(0))
+        # the odometry step DONATES the ring and the staged scan buffers,
+        # so every variant needs its own device copies
         pipe.state = pipe.state._replace(
-            kf_tree=kf_stacked,
+            kf_tree=fresh_ring(),
             kf_valid=jnp.ones(num_keyframes, bool),
         )
-        if staged is None:
-            staged = {i: pipe.stage(scan_at(i)) for i in range(1, 1 + total)}
+        staged = {i: pipe.stage(scans_np[i]) for i in range(1, 1 + total)}
         t_c0 = time.perf_counter()
         for i in range(1, 1 + n_warmup):
             pipe.compute_device(0.1 * i, *staged[i])
