@@ -1,29 +1,36 @@
 """Headline benchmark: full-pipeline odometry throughput on one TPU chip.
 
-Runs the flagship configuration — KITTI-scale padded scans (131072 points),
-``num_keyframes=16`` (the reference's paper/demo config, README.md:41),
-all 15 GN rounds per scan (no early exit) — on synthetic KITTI-like
-geometry, and reports steady-state scans/sec.
+Runs the flagship configuration — KITTI-scale padded scans (131072
+points), ``num_keyframes=16`` (the reference's paper/demo config,
+README.md:41), all 15 GN rounds per scan (no early exit) — on synthetic
+KITTI-like geometry, and reports steady-state scans/sec for EVERY
+association schedule the framework ships, in one process (same chip
+epoch, so the numbers compare; NOTES.md measurement discipline):
 
-Association schedule: the headline is the REFERENCE-IDENTICAL exact
-schedule (``assoc_mode="exact"``) — every GN round is a full
-re-association of every moving leaf against every keyframe
-(``pipeline.cpp:166-193``) — accelerated by the certified
-re-association (``certify=True``): descents whose path-stability margin
-provably exceeds the accumulated pose motion skip their HBM gathers and
-reuse their cached leaf. That is result-identical to re-descending in
-f64 (tests/test_pipeline.py::test_certified_matches_plain_exact, golden
-tests); at this bench's f32 the fp-safety window admits rare
-association flips bounded to sub-mm trajectory deltas
-(test_certified_f32_divergence_bounded). Set
-BENCH_CERTIFY=0 for the plain every-gather exact schedule, or
-BENCH_ASSOC_MODE=fast for the approximate periodic-re-descent mode
-(mm-level trajectory agreement, kept for comparison).
+  exact      — the reference's literal schedule: every GN round fully
+               re-associates every moving leaf against every keyframe
+               (``pipeline.cpp:166-193``).
+  certified  — same schedule, accelerated by the path-margin certificate
+               (``PipelineConfig.certify``): provably-unchanged descents
+               park their gathers on row 0. Result-identical in f64;
+               at this bench's f32 the fp-safety window admits rare
+               association flips bounded to sub-mm trajectory deltas
+               (test_certified_f32_divergence_bounded).
+  compact    — certified + per-keyframe compaction of the uncertified
+               tail into a static buffer (``certify_compact``): the
+               parked gathers are not even issued.
+  fast       — approximate periodic re-descent (assoc_mode="fast",
+               mm-level trajectory agreement; kept for comparison).
+
+The HEADLINE (the JSON line's ``value``) is the exact-semantics
+schedule the shipped PipelineConfig defaults select; every schedule's
+number and per-scan descent count ride along in ``schedules`` so a
+regression in any mode is visible in every round's artifact
+(VERDICT r2 item 3).
 
 Steady state is enforced: the keyframe ring is prefilled with 16 real
-keyframe trees built from staggered viewpoints before timing starts, so the
-measured step does the full 16-keyframe association work every round
-(an empty ring slot costs almost nothing and would inflate the number).
+keyframe trees built from staggered viewpoints before timing starts, so
+the measured step does the full 16-keyframe association work every round.
 
 Synchronization note: measurements bracket with a device->host transfer
 (``jax.device_get``) rather than ``block_until_ready`` — on the axon
@@ -31,14 +38,20 @@ remote-TPU platform the latter can return before the queue drains.
 
 Baseline note: this image cannot build or run the reference (no Eigen /
 pybind11, single-core host), and the repository pins no published numbers
-(BASELINE.md). The only throughput requirement the reference itself encodes
-is the anytime-realtime budget: the sensor rate, 10 scans/sec at 10 Hz with
-the full 15-iteration budget (``pipeline.cpp:62,167``). ``vs_baseline``
-is therefore scans/sec relative to that 10 Hz realtime requirement.
+(BASELINE.md). The only throughput requirement the reference itself
+encodes is the anytime-realtime budget: the sensor rate, 10 scans/sec at
+10 Hz with the full 15-iteration budget (``pipeline.cpp:62,167``).
+``vs_baseline`` is therefore scans/sec relative to that 10 Hz realtime
+requirement.
+
+Env knobs: BENCH_SCHEDULES (comma list of exact|certified|compact:<U>|
+fast[:<every>]; default the full matrix), BENCH_N_POINTS, BENCH_KEYFRAMES,
+BENCH_DEPTH, BENCH_MAX_LEAVES, BENCH_WARMUP, BENCH_STEPS, BENCH_WINDOWS.
 
 Prints exactly one JSON line:
     {"metric": "odometry_scans_per_sec", "value": N, "unit": "scans/s",
-     "vs_baseline": N/10}
+     "vs_baseline": N/10, "schedule": "...", "dtype": "float32",
+     "n_descents": D, "schedules": {...}}
 """
 
 from __future__ import annotations
@@ -80,149 +93,207 @@ def synthetic_kitti_scan(rng, n_points=120000):
     return np.vstack([ground, walls, rest])
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+class BenchSetup:
+    """Flagship-config scan stream + steady-state keyframe ring builder,
+    shared by bench.py and scripts/bench_ab.py."""
 
-    from madicp_tpu.models.pipeline import Pipeline
-    from madicp_tpu.ops.tree import build_tree, transform_tree
+    def __init__(self):
+        import jax.numpy as jnp
 
-    n_points = int(os.environ.get("BENCH_N_POINTS", 131072))
-    num_keyframes = int(os.environ.get("BENCH_KEYFRAMES", 16))
-    depth = int(os.environ.get("BENCH_DEPTH", 16))
-    max_leaves = int(os.environ.get("BENCH_MAX_LEAVES", 32768))
-    n_warmup = int(os.environ.get("BENCH_WARMUP", 3))
-    n_steps = int(os.environ.get("BENCH_STEPS", 12))
-    assoc_mode = os.environ.get("BENCH_ASSOC_MODE", "exact")
-    certify = os.environ.get("BENCH_CERTIFY", "1") != "0"
-    certify_compact = int(os.environ.get("BENCH_CERTIFY_COMPACT", 0))
-    reassoc_every = int(os.environ.get("BENCH_REASSOC_EVERY", 7))
-    chunk = int(os.environ.get("BENCH_CHUNK", 1))
+        self.n_points = int(os.environ.get("BENCH_N_POINTS", 131072))
+        self.num_keyframes = int(os.environ.get("BENCH_KEYFRAMES", 16))
+        self.depth = int(os.environ.get("BENCH_DEPTH", 16))
+        self.max_leaves = int(os.environ.get("BENCH_MAX_LEAVES", 32768))
+        self.dtype = jnp.float32
+        self.rng = np.random.default_rng(0)
+        self.world = synthetic_kitti_scan(
+            self.rng, n_points=min(120000, self.n_points)
+        )
+        self._build = None
 
-    pipe = Pipeline(
-        sensor_hz=10.0,
-        deskew=False,
-        b_max=0.2,
-        rho_ker=0.1,
-        p_th=0.8,
-        b_min=0.1,
-        b_ratio=0.02,
-        num_keyframes=num_keyframes,
-        n_points=n_points,
-        depth=depth,
-        max_leaves=max_leaves,
-        dtype=jnp.float32,
-        assoc_mode=assoc_mode,
-        reassoc_every=reassoc_every,
-        certify=certify,
-        certify_compact=certify_compact,
-    )
-
-    rng = np.random.default_rng(0)
-    world = synthetic_kitti_scan(rng, n_points=min(120000, n_points))
-
-    def scan_at(i):
+    def scan_at(self, i):
         # sensor advancing 1.4 m/scan with mild yaw — re-sampled view of
         # the same world so consecutive scans overlap like real data
         t = np.array([1.4 * i, 0.05 * i, 0.0])
         yaw = 0.004 * i
         c, s = np.cos(yaw), np.sin(yaw)
         R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
-        local = (world - t) @ R
-        jitter = rng.normal(0, 0.008, local.shape)
+        local = (self.world - t) @ R
+        jitter = self.rng.normal(0, 0.008, local.shape)
         return (local + jitter).astype(np.float32)
 
-    def pad(points):
-        pts = np.zeros((n_points, 3), np.float32)
-        pts[: len(points)] = points[:n_points]
-        v = np.zeros(n_points, bool)
+    def pad(self, points):
+        import jax.numpy as jnp
+
+        pts = np.zeros((self.n_points, 3), np.float32)
+        pts[: len(points)] = points[: self.n_points]
+        v = np.zeros(self.n_points, bool)
         v[: len(points)] = True
         return jnp.asarray(pts), jnp.asarray(v)
 
-    # ---- steady state: prefill the keyframe ring with 16 real trees ----
-    build = jax.jit(
-        lambda p, v: build_tree(
-            p, v, depth=depth, b_max=pipe.cfg.b_max, b_min=pipe.cfg.b_min
-        )[0]
-    )
-    kf_trees = []
-    for k in range(num_keyframes):
-        t = np.array([1.4 * (k - num_keyframes), 0.05 * (k - num_keyframes), 0.0])
-        yaw = 0.004 * (k - num_keyframes)
-        cs, sn = np.cos(yaw), np.sin(yaw)
-        Rk = jnp.asarray(
-            np.array([[cs, -sn, 0], [sn, cs, 0], [0, 0, 1.0]], np.float32)
-        )
-        tree = build(*pad(scan_at(k - num_keyframes)))
-        kf_trees.append(transform_tree(tree, Rk, jnp.asarray(t, jnp.float32)))
-    kf_stacked = jax.tree.map(lambda *a: jnp.stack(a), *kf_trees)
-    pipe.compute(0.0, scan_at(0))  # initialise
-    pipe.state = pipe.state._replace(
-        kf_tree=kf_stacked,
-        kf_valid=jnp.ones(num_keyframes, bool),
-    )
+    def make_pipe(self, spec: str):
+        """spec := exact | certified | compact:<U> | fast[:<every>]"""
+        import jax.numpy as jnp
 
-    if chunk > 1:
-        # keep every dispatch the same static chunk shape (one compile)
-        n_warmup = chunk
-        n_steps = -(-n_steps // chunk) * chunk
+        from madicp_tpu.models.pipeline import Pipeline
 
-    # pre-generate AND pre-stage the scan stream: synthesizing a
-    # 120k-point scan costs ~17 ms of host time and its device transfer
-    # ~9 ms over the tunnel; this bench measures the odometry engine,
-    # not the data source (the CLI reports read and odometry separately,
-    # and its prefetcher stages scans on a background thread the same way)
-    n_windows = int(os.environ.get("BENCH_WINDOWS", 3))
-    total = n_warmup + n_windows * n_steps
-    if chunk > 1:
-        scans = {i: scan_at(i) for i in range(1, 1 + total)}
-    else:
-        scans = {i: pipe.stage(scan_at(i)) for i in range(1, 1 + total)}
-
-    def run(lo, hi):
-        if chunk > 1:
-            for j in range(lo, hi, chunk):
-                js = list(range(j, min(j + chunk, hi)))
-                pipe.compute_batch([0.1 * i for i in js], [scans[i] for i in js])
+        kw = dict(assoc_mode="exact", certify=False, certify_compact=0,
+                  reassoc_every=7)
+        if spec == "exact":
+            pass
+        elif spec == "certified":
+            kw["certify"] = True
+        elif spec.startswith("compact"):
+            kw["certify"] = True
+            kw["certify_compact"] = (
+                int(spec.split(":")[1]) if ":" in spec else 4096
+            )
+        elif spec.startswith("fast"):
+            kw["assoc_mode"] = "fast"
+            if ":" in spec:
+                kw["reassoc_every"] = int(spec.split(":")[1])
         else:
+            raise SystemExit(f"unknown schedule {spec!r}")
+        if "BENCH_LADDER" in os.environ:
+            kw["assoc_ladder"] = int(os.environ["BENCH_LADDER"])
+        return Pipeline(
+            sensor_hz=10.0, deskew=False, b_max=0.2, rho_ker=0.1, p_th=0.8,
+            b_min=0.1, b_ratio=0.02, num_keyframes=self.num_keyframes,
+            n_points=self.n_points, depth=self.depth,
+            max_leaves=self.max_leaves, dtype=jnp.float32, **kw,
+        )
+
+    def fresh_ring(self, cfg):
+        """Steady-state keyframe ring, rebuilt on device per pipeline:
+        the odometry step DONATES the ring buffers, so pipelines must
+        not share one."""
+        import jax
+        import jax.numpy as jnp
+
+        from madicp_tpu.ops.tree import build_tree, transform_tree
+
+        if self._build is None:
+            self._build = jax.jit(
+                lambda p, v: build_tree(
+                    p, v, depth=self.depth, b_max=cfg.b_max, b_min=cfg.b_min
+                )[0]
+            )
+        kf_trees = []
+        K = self.num_keyframes
+        for k in range(K):
+            t = np.array([1.4 * (k - K), 0.05 * (k - K), 0.0])
+            yaw = 0.004 * (k - K)
+            cs, sn = np.cos(yaw), np.sin(yaw)
+            Rk = jnp.asarray(
+                np.array([[cs, -sn, 0], [sn, cs, 0], [0, 0, 1.0]], np.float32)
+            )
+            tree = self._build(*self.pad(self.scan_at(k - K)))
+            kf_trees.append(transform_tree(tree, Rk, jnp.asarray(t, jnp.float32)))
+        return jax.tree.map(lambda *a: jnp.stack(a), *kf_trees)
+
+    def prime(self, pipe):
+        """Initialise a pipeline and install the steady-state ring."""
+        import jax.numpy as jnp
+
+        pipe.compute(0.0, self.scan_at(0))
+        pipe.state = pipe.state._replace(
+            kf_tree=self.fresh_ring(pipe.cfg),
+            kf_valid=jnp.ones(self.num_keyframes, bool),
+        )
+
+
+def default_schedule_name(cfg) -> str:
+    """Name the schedule a PipelineConfig selects (the shipped default
+    decides the bench headline, so flipping the default flips the
+    headline automatically)."""
+    if cfg.assoc_mode == "fast":
+        return "fast"
+    if cfg.certify and cfg.certify_compact:
+        return f"compact:{cfg.certify_compact}"
+    if cfg.certify:
+        return "certified"
+    return "exact"
+
+
+def main():
+    import jax
+
+    setup = BenchSetup()
+    n_warmup = int(os.environ.get("BENCH_WARMUP", 3))
+    n_steps = int(os.environ.get("BENCH_STEPS", 12))
+    n_windows = int(os.environ.get("BENCH_WINDOWS", 3))
+
+    from madicp_tpu.models.pipeline import PipelineConfig
+
+    headline = default_schedule_name(PipelineConfig())
+    schedules = os.environ.get("BENCH_SCHEDULES", "").split(",")
+    schedules = [s.strip() for s in schedules if s.strip()]
+    if not schedules:
+        schedules = ["exact", "certified", "compact:4096", "fast"]
+        if headline not in schedules:
+            schedules.insert(0, headline)
+
+    total = n_warmup + n_windows * n_steps
+    results = {}
+    for spec in schedules:
+        pipe = setup.make_pipe(spec)
+        setup.prime(pipe)
+        # pre-generate AND pre-stage the scan stream: synthesizing a
+        # 120k-point scan costs ~17 ms of host time and its device
+        # transfer ~9 ms over the tunnel; this bench measures the
+        # odometry engine, not the data source (the CLI reports read and
+        # odometry separately, and its prefetcher stages scans on a
+        # background thread the same way)
+        staged = {i: pipe.stage(setup.scan_at(i)) for i in range(1, 1 + total)}
+
+        def run(lo, hi):
             for i in range(lo, hi):
-                pipe.compute_device(0.1 * i, *scans[i])
+                pipe.compute_device(0.1 * i, *staged[i])
 
-    # warmup: compile the full step and drain the queue
-    run(1, 1 + n_warmup)
-    _ = jax.device_get(pipe.state.X)  # hard sync
-
-    # The chip is reached over a tunnel whose load comes in epochs
-    # (same-code runs vary ~1.6x); measure several windows and report
-    # the best — the engine's steady-state capability, not the epoch's.
-    rates = []
-    lo = 1 + n_warmup
-    for _ in range(n_windows):
-        t0 = time.perf_counter()
-        run(lo, lo + n_steps)
+        run(1, 1 + n_warmup)  # compile + drain
         _ = jax.device_get(pipe.state.X)  # hard sync
-        rates.append(n_steps / (time.perf_counter() - t0))
-        lo += n_steps
 
-    scans_per_sec = max(rates)
+        # The chip is reached over a tunnel whose load comes in epochs
+        # (same-code runs vary ~1.6x); measure several windows and report
+        # the best — the engine's steady-state capability, not the epoch's
+        rates = []
+        lo = 1 + n_warmup
+        for _ in range(n_windows):
+            t0 = time.perf_counter()
+            run(lo, lo + n_steps)
+            _ = jax.device_get(pipe.state.X)  # hard sync
+            rates.append(n_steps / (time.perf_counter() - t0))
+            lo += n_steps
+        results[spec] = {
+            "scans_per_sec": round(max(rates), 3),
+            "ms_per_scan": round(1000.0 / max(rates), 1),
+            "descents": pipe.descents(),
+        }
+        print(
+            f"{spec}: windows {[round(r, 2) for r in rates]} scans/s  "
+            f"descents/scan {pipe.descents()}",
+            file=os.sys.stderr,
+        )
+        del pipe, staged
+
+    head = results.get(headline) or results[schedules[0]]
+    head_name = headline if headline in results else schedules[0]
     realtime_budget_hz = 10.0  # reference anytime-realtime sensor rate
-    schedule = (
-        "fast" if assoc_mode == "fast"
-        else ("exact-certified" if certify else "exact")
-    )
-    print(
-        f"windows: {[round(r, 2) for r in rates]} scans/s  "
-        f"schedule={schedule}",
-        file=os.sys.stderr,
-    )
     print(
         json.dumps(
             {
                 "metric": "odometry_scans_per_sec",
-                "value": round(scans_per_sec, 3),
+                "value": head["scans_per_sec"],
                 "unit": "scans/s",
-                "vs_baseline": round(scans_per_sec / realtime_budget_hz, 3),
-                "schedule": schedule,
+                "vs_baseline": round(
+                    head["scans_per_sec"] / realtime_budget_hz, 3
+                ),
+                "schedule": head_name,
+                # f32-certified admits rare sub-mm association flips vs
+                # bitwise f64 exactness — keep the headline honest
+                "dtype": "float32",
+                "n_descents": head["descents"],
+                "schedules": results,
             }
         )
     )

@@ -27,18 +27,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ground-truth trajectory (same format)")
     p.add_argument("--no-align", action="store_true",
                    help="skip SE(3) alignment before ATE")
+    p.add_argument("--segment-lengths", type=float, nargs="+", default=None,
+                   help="drift segment lengths in meters (default: the "
+                        "KITTI benchmark's 100..800); pass short lengths "
+                        "for short sequences, which otherwise report nan")
     p.add_argument("--json", action="store_true",
                    help="print one machine-readable JSON line")
     return p
 
 
-def evaluate(estimate_path, ground_truth_path, align: bool = True) -> dict:
+def evaluate(estimate_path, ground_truth_path, align: bool = True,
+             lengths=None) -> dict:
     from madicp_tpu.utils.trajectory import ate_rmse, kitti_drift, load_kitti_poses
 
     est = load_kitti_poses(estimate_path)
     gt = load_kitti_poses(ground_truth_path)
     n = min(len(est), len(gt))
-    drift = kitti_drift(est, gt)
+    drift = (kitti_drift(est, gt, lengths=tuple(lengths))
+             if lengths else kitti_drift(est, gt))
     return {
         "poses": int(n),
         "ate_rmse_m": ate_rmse(est, gt, align=align),
@@ -54,7 +60,8 @@ def main(argv=None) -> int:
         if not f.exists():
             print(f"error: {f} does not exist", file=sys.stderr)
             return -1
-    m = evaluate(args.estimate, args.ground_truth, align=not args.no_align)
+    m = evaluate(args.estimate, args.ground_truth, align=not args.no_align,
+                 lengths=args.segment_lengths)
     if args.json:
         print(json.dumps(m))
     else:

@@ -48,9 +48,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--assoc-mode", type=str, default="exact",
                    choices=("exact", "fast"))
     p.add_argument("--reassoc-every", type=int, default=7)
+    p.add_argument("--no-certify", action="store_true",
+                   help="disable the certified re-association schedule "
+                        "(exact mode; see PipelineConfig.certify)")
+    p.add_argument("--certify-compact", type=int, default=0,
+                   help="per-keyframe compact re-descent buffer size "
+                        "(0 = off; see PipelineConfig.certify_compact)")
+    p.add_argument("--deskew-mode", type=str, default="reference",
+                   choices=("reference", "binned"))
     p.add_argument("--seq-axis", type=int, default=0,
                    help="shard sequences over this many devices "
                         "(0 = no mesh: single-device batch)")
+    p.add_argument("--kf-axis", type=int, default=1,
+                   help="shard each sequence's keyframe ring over this "
+                        "many devices (needs --seq-axis; total devices = "
+                        "seq_axis * kf_axis — BASELINE.json configs[4])")
     p.add_argument("--max-scans", type=int, default=0,
                    help="cap scans per sequence (0 = shortest sequence)")
     p.add_argument("--json", action="store_true",
@@ -120,12 +132,18 @@ def main(argv=None) -> int:
         dtype=jnp.float32,
         assoc_mode=args.assoc_mode,
         reassoc_every=args.reassoc_every,
+        certify=not args.no_certify,
+        certify_compact=args.certify_compact,
+        deskew_mode=args.deskew_mode,
     )
     mesh = None
     if args.seq_axis:
         from madicp_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(kf=1, seq=args.seq_axis)
+        mesh = make_mesh(kf=args.kf_axis, seq=args.seq_axis)
+    elif args.kf_axis != 1:
+        print("error: --kf-axis needs --seq-axis (a mesh)", file=sys.stderr)
+        return -1
     fleet = Fleet(cfg, n_seq, mesh=mesh)
 
     E = np.asarray(data_cf.lidar_to_base, float)

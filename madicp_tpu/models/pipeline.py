@@ -96,6 +96,16 @@ class PipelineConfig:
     assoc_mode: str = "exact"
     reassoc_every: int = 2
     reassoc_backup: int = 0
+    # Select-ladder descent (every schedule): replace the first
+    # ``assoc_ladder`` descent gathers per root descent with compute
+    # (root-row broadcast / select tree / exact one-hot MXU matmul) —
+    # bitwise-identical results (see ops/tree.py::search_forest). TPU
+    # descent gathers are issue-bound at ~3 ns/row no matter what they
+    # touch (measured, scripts/gather_probe.py), so the early descent
+    # levels — whose block tables are tiny — are cheaper to compute
+    # than to gather. 3 replaces the level-0/3/6 gathers (1/8/64-row
+    # tables); 0 disables.
+    assoc_ladder: int = 3
     # Certified re-association (exact mode only). The exact schedule
     # re-associates every moving leaf against every keyframe every GN
     # round (pipeline.cpp:166-193). With certify=True each descent also
@@ -147,6 +157,10 @@ class PipelineConfig:
         if self.certify_compact < 0:
             raise ValueError(
                 f"certify_compact must be >= 0, got {self.certify_compact}"
+            )
+        if self.assoc_ladder < 0:
+            raise ValueError(
+                f"assoc_ladder must be >= 0, got {self.assoc_ladder}"
             )
 
     @property
@@ -321,6 +335,7 @@ def icp_rounds(
             terms = icp_terms(
                 SearchTree(*tree_fields), leaves_pts, leaves_valid, X,
                 b_max=cfg.b_max, b_ratio=cfg.b_ratio, rho_ker=cfg.rho_ker,
+                ladder=cfg.assoc_ladder,
             )
             out = (acc[0] + terms.H * v, acc[1] + terms.b * v)
             if with_matched:
@@ -355,6 +370,7 @@ def icp_rounds(
                 nav, 0, cfg.depth, ml, leaves_valid,
                 start=None if full else prev >> cfg.reassoc_backup,
                 n_gathers=None if full else warm_gathers,
+                ladder=cfg.assoc_ladder,  # ignored on warm re-descents
             )
             return 0, (ids, payload)
 
@@ -434,21 +450,28 @@ def icp_rounds(
         dinfo = jnp.finfo(dtype)
         r_norm = jnp.linalg.norm(leaves_pts, axis=-1)  # (L,)
 
+        kf_live_k = kf_valid_f > 0  # (K,) — constant within one scan:
+        # promotion happens after icp_rounds, so masking dead ring slots
+        # out of every descent (they contribute nothing to terms_scan
+        # anyway) is result-identical and skips their work entirely
+
         def assoc_certified(X, uncert):
             """Re-descend uncertified (K, L) entries; certified entries
             park on row 0 (one hot cache line — ~free gathers)."""
             ml = leaves_pts @ X[:3, :3].T + X[:3, 3]
 
             def per_kf(_, kf):
-                tree_fields, unc = kf
+                tree_fields, unc, live = kf
                 nav = SearchTree(*tree_fields).nav
                 ids, payload, margin = associate_packed(
-                    nav, 0, cfg.depth, ml, leaves_valid & unc,
-                    return_margin=True,
+                    nav, 0, cfg.depth, ml, leaves_valid & unc & live,
+                    return_margin=True, ladder=cfg.assoc_ladder,
                 )
                 return 0, (ids, payload, margin)
 
-            _, out = jax.lax.scan(per_kf, 0, (tuple(kf_tree), uncert))
+            _, out = jax.lax.scan(
+                per_kf, 0, (tuple(kf_tree), uncert, kf_live_k)
+            )
             return out  # ids (K,L), payload (K,L,8), margin (K,L)
 
         def motion_bound(Xa, Xb):
@@ -507,13 +530,18 @@ def icp_rounds(
             ml = leaves_pts @ X[:3, :3].T + X[:3, 3]
 
             def per_kf(_, kf):
-                tree_fields, unc, ids_k, payload_k, slack_k = kf
+                tree_fields, unc, live, ids_k, payload_k, slack_k = kf
                 nav = SearchTree(*tree_fields).nav
-                need = unc & leaves_valid
+                # dead ring slots (live=False) compact to ZERO work
+                # instead of overflowing U into a full parked sweep
+                # every round (they otherwise stay all-uncertified,
+                # ADVICE r2)
+                need = unc & leaves_valid & live
 
                 def full_kf():
                     ids2, payload2, margin2 = associate_packed(
-                        nav, 0, cfg.depth, ml, need, return_margin=True
+                        nav, 0, cfg.depth, ml, need, return_margin=True,
+                        ladder=cfg.assoc_ladder,
                     )
                     return (
                         jnp.where(need, ids2, ids_k),
@@ -530,7 +558,7 @@ def icp_rounds(
                         ids_u, payload_u, margin_u = associate_packed(
                             nav, 0, cfg.depth,
                             ml[jnp.minimum(idx, L - 1)], live,
-                            return_margin=True,
+                            return_margin=True, ladder=cfg.assoc_ladder,
                         )
                         drop = dict(mode="drop")  # fill idx L is OOB
                         return (
@@ -545,7 +573,8 @@ def icp_rounds(
                 return 0, out
 
             _, out = jax.lax.scan(
-                per_kf, 0, (tuple(kf_tree), uncert, ids, payload, slack)
+                per_kf, 0,
+                (tuple(kf_tree), uncert, kf_live_k, ids, payload, slack),
             )
             return out
 
@@ -819,6 +848,7 @@ class Pipeline:
         realtime_recal_every: int = 32,
         certify: bool = True,
         certify_compact: int = 0,
+        assoc_ladder: int = 3,
     ):
         del num_threads
         self.cfg = PipelineConfig(
@@ -841,6 +871,7 @@ class Pipeline:
             reassoc_backup=int(reassoc_backup),
             certify=bool(certify),
             certify_compact=int(certify_compact),
+            assoc_ladder=int(assoc_ladder),
         )
         self.realtime = bool(realtime)
         self.state = init_state(self.cfg)

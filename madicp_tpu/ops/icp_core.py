@@ -46,6 +46,7 @@ def associate_packed(
     start: jnp.ndarray = None,
     n_gathers: int = None,
     return_margin: bool = False,
+    ladder: int = 0,
 ):
     """Descend one fixed tree for every moving point (already in the map
     frame); the descent's final block IS the matched leaf's payload
@@ -61,7 +62,7 @@ def associate_packed(
     return search_forest(
         nav, moving_pts_map, base, depth, valid=moving_valid,
         start=start, n_gathers=n_gathers, return_blocks=True,
-        return_margin=return_margin,
+        return_margin=return_margin, ladder=ladder,
     )
 
 
@@ -125,6 +126,7 @@ def icp_terms_packed(
     b_max,
     b_ratio,
     rho_ker,
+    ladder: int = 0,
 ) -> IcpTerms:
     """Normal-equation contribution of one fixed tree inside a flat forest.
 
@@ -136,9 +138,12 @@ def icp_terms_packed(
         moving_valid: (L,) bool.
         X: (4, 4) current moving-to-fixed estimate.
         b_max / b_ratio / rho_ker: solver parameters (``mad_params.py:31-38``).
+        ladder: compute-selected descent steps (see ``search_forest``).
     """
     ml = moving_pts @ X[:3, :3].T + X[:3, 3]
-    _, payload = associate_packed(nav, base, depth, ml, moving_valid)
+    _, payload = associate_packed(
+        nav, base, depth, ml, moving_valid, ladder=ladder
+    )
     return terms_from_payload(
         payload, moving_pts, moving_valid, X,
         b_max=b_max, b_ratio=b_ratio, rho_ker=rho_ker,
@@ -154,6 +159,7 @@ def icp_terms(
     b_max,
     b_ratio,
     rho_ker,
+    ladder: int = 0,
 ) -> IcpTerms:
     """Normal-equation contribution of one fixed tree (single-tree view)."""
     return icp_terms_packed(
@@ -166,6 +172,7 @@ def icp_terms(
         b_max=b_max,
         b_ratio=b_ratio,
         rho_ker=rho_ker,
+        ladder=ladder,
     )
 
 

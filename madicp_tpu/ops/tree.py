@@ -434,6 +434,55 @@ def build_tree(
     return tree, point_leaf
 
 
+def _select_rows_tree(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(N, W) x (Q,) -> (Q, W) row selection as a log2(N)-deep chain of
+    vector selects — zero HBM gather rows issued. Bitwise-equal to
+    ``jnp.take`` (it moves the same f32 words, just via the VPU).
+    N must be a (small) power of two; cost is N-1 selects over (Q, W)."""
+    cands = [tab[i] for i in range(tab.shape[0])]
+    bit = 0
+    while len(cands) > 1:
+        b = ((idx >> bit) & 1).astype(bool)[:, None]
+        cands = [
+            jnp.where(b, cands[2 * i + 1], cands[2 * i])
+            for i in range(len(cands) // 2)
+        ]
+        bit += 1
+    return cands[0]
+
+
+def _select_rows_onehot(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(N, W) x (Q,) -> (Q, W) row selection as one-hot matmuls — the
+    "gather" runs on the MXU instead of the HBM gather unit.
+
+    Exactness: a one-hot dot product is a single product ``1.0 * x``
+    plus zeros, so selection is exact in any dtype — except that TPU f32
+    matmuls run as bf16 passes whose emulation precision is backend
+    policy. For f32 the table is therefore split EXPLICITLY into three
+    non-overlapping bf16 parts (``x = hi + mid + lo`` exactly: 8+8+8
+    mantissa bits cover f32's 24; each residual is an exact f32
+    subtraction), each part is selected by a bf16 one-hot matmul with
+    f32 accumulation, and the three exact selections sum back to ``x``
+    bitwise (the parts are non-overlapping, so each partial sum is
+    representable). Pinned bitwise against ``jnp.take`` by
+    tests/test_tree.py::test_ladder_descent_bitwise_identical."""
+    N = tab.shape[0]
+    oh = idx[:, None] == jnp.arange(N, dtype=idx.dtype)[None, :]
+    if tab.dtype == jnp.float32:
+        hi = tab.astype(jnp.bfloat16)
+        r1 = tab - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        ohb = oh.astype(jnp.bfloat16)
+        out = jnp.dot(ohb, hi, preferred_element_type=jnp.float32)
+        out = out + jnp.dot(ohb, mid, preferred_element_type=jnp.float32)
+        out = out + jnp.dot(ohb, lo, preferred_element_type=jnp.float32)
+        return out
+    return jnp.dot(
+        oh.astype(tab.dtype), tab, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def search_forest(
     nav: jnp.ndarray,
     queries: jnp.ndarray,
@@ -444,6 +493,7 @@ def search_forest(
     n_gathers: Optional[int] = None,
     return_blocks: bool = False,
     return_margin: bool = False,
+    ladder: int = 0,
 ):
     """Approximate-NN descent over one tree stored inside a flat forest.
 
@@ -481,6 +531,22 @@ def search_forest(
     ``blocks`` (Q, 8) is the final node's descent block — for a leaf,
     its surfel payload ``[repr(3), normal(3), bbox0, flags]``.
 
+    ``ladder`` (static int) replaces the first ``ladder`` descent
+    gathers with COMPUTE — TPU descent gathers are issue-bound at
+    ~3 ns/row regardless of locality or operand size (measured,
+    scripts/gather_probe.py r3), so the only way to make the hot loop
+    cheaper is to not issue rows at all. Gather ``g`` needs the block
+    rows of level ``3g`` — a static ``2^{3g}``-row arena slice — and a
+    query AT that level selects its row without touching the gather
+    unit: level 0 is a broadcast of the root row, tiny levels use a
+    select tree (``_select_rows_tree``), larger ones an exact one-hot
+    matmul on the MXU (``_select_rows_onehot``). Queries parked below
+    the level (earlier leaf / padding) keep their carried block, which
+    is bitwise what their own row's panel 0 holds (``_pack_tree``
+    strided copies), so results are BITWISE IDENTICAL to ``ladder=0``
+    (pinned by tests). Only root descents qualify (``start=None`` and a
+    static ``base == 0``); otherwise ``ladder`` is ignored.
+
     With ``return_margin=True`` additionally returns ``margins`` (Q,):
     the minimum |signed distance to a split plane| over every real
     interior node the descent EVALUATED (split directions are unit
@@ -514,10 +580,18 @@ def search_forest(
 
     big = jnp.asarray(jnp.finfo(nav.dtype).max, nav.dtype)
 
-    def gather_step(g, carry):
-        node, _, margin = carry
-        row = jnp.take(nav, base + node, axis=0)  # (Q, 56)
-        blk = row[:, 0:8]
+    def step_body(g, carry, row, at):
+        """One 3-level descent step given this step's block rows.
+
+        ``at`` masks queries AT this step's level (compute-selected rows
+        are only meaningful for them); ``None`` for the gather path,
+        where ``row`` is each query's own node row and panel 0 is
+        bitwise the carried block for parked queries."""
+        node, blk, margin = carry
+        if at is None:
+            blk = row[:, 0:8]
+        else:
+            blk = jnp.where(at[:, None], row[:, 0:8], blk)
         b1 = jnp.zeros((Q,), bool)
         for s in range(3):
             active = (g * 3 + s) < depth if known_levels else True
@@ -553,9 +627,38 @@ def search_forest(
 
     blk0 = jnp.zeros((Q, 8), nav.dtype)
     margin0 = jnp.full((Q,), big, nav.dtype)
-    node, blk, margin = jax.lax.fori_loop(
-        0, n_gathers, gather_step, (node0, blk0, margin0)
-    )
+    carry = (node0, blk0, margin0)
+    use_ladder = ladder > 0 and known_levels and isinstance(base, int) and base == 0
+    if use_ladder:
+        M = nav.shape[-2]
+        for g in range(n_gathers):
+            lvl = 1 << (3 * g)
+            if g < ladder and 2 * lvl <= M:
+                node = carry[0]
+                at = node >= lvl
+                if lvl == 1:
+                    row = jnp.broadcast_to(nav[1], (Q, nav.shape[-1]))
+                else:
+                    tab = jax.lax.slice_in_dim(nav, lvl, 2 * lvl, axis=0)
+                    local = jnp.clip(node - lvl, 0, lvl - 1)
+                    if lvl <= 8:
+                        row = _select_rows_tree(tab, local)
+                    else:
+                        row = _select_rows_onehot(tab, local)
+                carry = step_body(g, carry, row, at)
+            else:
+                row = jnp.take(nav, base + carry[0], axis=0)
+                carry = step_body(g, carry, row, None)
+    else:
+        carry = jax.lax.fori_loop(
+            0,
+            n_gathers,
+            lambda g, c: step_body(
+                g, c, jnp.take(nav, base + c[0], axis=0), None
+            ),
+            carry,
+        )
+    node, blk, margin = carry
     out = (node,)
     if return_blocks:
         out += (blk,)

@@ -19,17 +19,30 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    *,
+    heartbeat_timeout_seconds: int = 600,
+    shutdown_timeout_seconds: int = 1800,
 ) -> dict:
     """Join (or no-op into) the multi-host JAX runtime.
 
     With no arguments, auto-detection is used (TPU pod metadata); on a
     single host this is a no-op. Returns a summary of the topology.
+
+    The heartbeat/shutdown deadlines default far above jax's own
+    (100 s / 300 s): a cold-cache XLA compile on a loaded or 1-core host
+    can stall one process for minutes while its peers idle, and the
+    default shutdown barrier then declares the compiling process dead
+    (observed: DEADLINE_EXCEEDED in the 2-process test on a cold cache).
+    Odometry steps are sub-second once compiled, so a long deadline
+    costs nothing in failure-detection latency that matters here.
     """
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            heartbeat_timeout_seconds=heartbeat_timeout_seconds,
+            shutdown_timeout_seconds=shutdown_timeout_seconds,
         )
     elif coordinator_address is not None:
         jax.distributed.initialize(coordinator_address=coordinator_address)

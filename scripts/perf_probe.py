@@ -64,9 +64,11 @@ def main():
             variants.append(args[i])
             i += 1
     variants = variants or ["scan", "flat", "scan2"]
-    unknown = [v for v in variants if v not in ("scan", "scan2", "flat", "batch")]
+    known = {"scan", "scan2", "flat", "batch", "lad1", "lad2", "lad3",
+             "lad4", "lad5"}
+    unknown = [v for v in variants if v not in known]
     if unknown:
-        raise SystemExit(f"unknown variants {unknown}; pick from scan scan2 flat batch")
+        raise SystemExit(f"unknown variants {unknown}; pick from {sorted(known)}")
 
     K, N, DEPTH, L = 16, 131072, 16, 32768
     B_MAX, B_MIN, B_RATIO, RHO = 0.2, 0.1, 0.02, 0.1
@@ -103,15 +105,20 @@ def main():
     kw = dict(b_max=B_MAX, b_ratio=B_RATIO, rho_ker=RHO)
 
     # ---- variant bodies: one full re-association GN round over K kf ----
-    def round_scan(X, kf_nav):
-        def per_kf(acc, nav):
-            t = icp_terms(SearchTree(nav), lp, lv, X, **kw)
-            return (acc[0] + t.H, acc[1] + t.b), None
+    def make_round_scan(ladder):
+        def round_scan(X, kf_nav):
+            def per_kf(acc, nav):
+                t = icp_terms(SearchTree(nav), lp, lv, X, ladder=ladder, **kw)
+                return (acc[0] + t.H, acc[1] + t.b), None
 
-        (H, b), _ = jax.lax.scan(
-            per_kf, (jnp.zeros((6, 6)), jnp.zeros(6)), kf_nav
-        )
-        return gn_se3_step(X, H, b)
+            (H, b), _ = jax.lax.scan(
+                per_kf, (jnp.zeros((6, 6)), jnp.zeros(6)), kf_nav
+            )
+            return gn_se3_step(X, H, b)
+
+        return round_scan
+
+    round_scan = make_round_scan(0)
 
     def round_flat(X, nav_flat):
         def per_kf(k, acc):
@@ -147,6 +154,12 @@ def main():
         "scan2": (make_step(round_scan), lambda: kf_nav),  # repeat control
         "flat": (make_step(round_flat), lambda: kf_nav.reshape(K * M, 56)),
         "batch": (make_step(round_batch), lambda: kf_nav.reshape(K * M, 56)),
+        # select-ladder descents (r3): first k gathers computed instead
+        # of issued — bitwise-identical results (ops/tree.py)
+        **{
+            f"lad{k}": (make_step(make_round_scan(k)), lambda: kf_nav)
+            for k in (1, 2, 3, 4, 5)
+        },
     }
 
     results = {}

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Decompose the exact GN round's ~670 us/(kf,round) on the chip (r3).
+
+perf_probe r3 measured that replacing up to 5 of the 6 descent gathers
+with compute (select-ladder) does NOT move the 15-round step time at
+all — the gathers are not the critical path. This probe times the
+round's components in one process:
+
+  full      — the production round (descent + terms) per kf scan
+  desc      — descent only (ids consumed, no terms math)
+  desc-lad5 — descent only, 5 of 6 gathers computed
+  terms     — terms math only from a fixed payload (no tree access)
+  noslice   — descent only, ONE nav arg reused for all 16 kf
+              (kills the lax.scan xs dynamic-slice copies)
+  substeps  — descent control-flow math alone: same loop, gathers
+              replaced by a broadcast row (1 hot row, no selects)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import BenchSetup
+    from madicp_tpu.ops.icp_core import (
+        associate_packed,
+        gn_se3_step,
+        icp_terms,
+        terms_from_payload,
+    )
+    from madicp_tpu.ops.tree import SearchTree, build_tree, get_leaves
+
+    setup = BenchSetup()
+    K, DEPTH = setup.num_keyframes, setup.depth
+    ROUNDS = 15
+    kw = dict(b_max=0.2, b_ratio=0.02, rho_ker=0.1)
+
+    build = jax.jit(
+        lambda p, v: build_tree(p, v, depth=DEPTH, b_max=0.2, b_min=0.1)[0]
+    )
+    print("building ring...", flush=True)
+    kf_nav = jnp.stack(
+        [build(*setup.pad(setup.scan_at(k - K))).nav for k in range(K)]
+    )
+    tree0 = build(*setup.pad(setup.scan_at(0)))
+    leaves = get_leaves(tree0, setup.max_leaves)
+    lp, lv = leaves.pts, leaves.valid
+    X0 = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(0.3)
+
+    def mk_full(ladder):
+        def round_fn(X, nav_all):
+            def per_kf(acc, nav):
+                t = icp_terms(SearchTree(nav), lp, lv, X, ladder=ladder, **kw)
+                return (acc[0] + t.H, acc[1] + t.b), None
+
+            (H, b), _ = jax.lax.scan(
+                per_kf, (jnp.zeros((6, 6)), jnp.zeros(6)), nav_all
+            )
+            return gn_se3_step(X, H, b)
+
+        return round_fn
+
+    def mk_desc(ladder, noslice=False):
+        def round_fn(X, nav_arg):
+            # noslice: nav_arg is ONE (M, 56) arena searched 16x (no xs
+            # dynamic-slice per keyframe); else the stacked (K, M, 56)
+            ml = lp @ X[:3, :3].T + X[:3, 3]
+
+            def per_kf(acc, nav):
+                if noslice:
+                    nav = nav_arg
+                ids, payload = associate_packed(
+                    nav, 0, DEPTH, ml, lv, ladder=ladder
+                )
+                return acc + jnp.sum(payload[:, 0]) + jnp.asarray(
+                    ids[0], jnp.float32
+                ), None
+
+            xs = jnp.arange(K) if noslice else nav_arg
+            acc, _ = jax.lax.scan(per_kf, jnp.asarray(0, jnp.float32), xs)
+            return X + acc * 1e-30  # data dependency into next round
+
+        return round_fn
+
+    def mk_terms(payload_all):
+        def round_fn(X, nav_all):
+            def per_kf(acc, payload):
+                t = terms_from_payload(payload, lp, lv, X, **kw)
+                return (acc[0] + t.H, acc[1] + t.b), None
+
+            (H, b), _ = jax.lax.scan(
+                per_kf, (jnp.zeros((6, 6)), jnp.zeros(6)), payload_all
+            )
+            return gn_se3_step(X, H, b)
+
+        return round_fn
+
+    # fixed payload for the terms-only variant
+    ml0 = lp @ X0[:3, :3].T + X0[:3, 3]
+    _, payload0 = associate_packed(kf_nav[0], 0, DEPTH, ml0, lv)
+    payload_all = jnp.stack([payload0] * K)
+
+    def mk_step(round_fn):
+        @jax.jit
+        def step(X, nav_all):
+            return jax.lax.fori_loop(
+                0, ROUNDS, lambda r, X: round_fn(X, nav_all), X
+            )
+
+        return step
+
+    nav1 = kf_nav[0]
+    variants = [
+        ("full", mk_step(mk_full(0)), kf_nav),
+        ("full-lad3", mk_step(mk_full(3)), kf_nav),
+        ("desc", mk_step(mk_desc(0)), kf_nav),
+        ("desc-lad5", mk_step(mk_desc(5)), kf_nav),
+        ("desc-noslice", mk_step(mk_desc(0, noslice=True)), nav1),
+        ("desc-noslice-lad5", mk_step(mk_desc(5, noslice=True)), nav1),
+        ("terms", mk_step(mk_terms(payload_all)), kf_nav),
+        ("full2", mk_step(mk_full(0)), kf_nav),
+    ]
+    for name, step, arg in variants:
+        X = step(X0, arg)
+        _ = jax.device_get(X)
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            X = step(X + 0.0, arg)
+            _ = jax.device_get(X)
+            times.append(time.perf_counter() - t0)
+        print(
+            f"{name:18s}: min {min(times)*1e3:8.1f} ms  all "
+            + " ".join(f"{t*1e3:.0f}" for t in times),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

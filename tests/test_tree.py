@@ -311,3 +311,47 @@ def test_descent_margin_is_tight_enough(rng, four_walls):
     q1 = q0 + d * (3.0 * np.asarray(margin)[:, None])
     ids1 = np.asarray(search_forest(tree.nav, jnp.asarray(q1), 0, depth))
     assert (np.asarray(ids0) != ids1).any()
+
+
+def test_ladder_descent_bitwise_identical(rng, four_walls):
+    """The select-ladder descent (``search_forest(..., ladder=k)``) is
+    BITWISE identical to the pure-gather descent: ids, payload blocks
+    and margins — for every ladder depth, in f32 (the 3x-bf16-split
+    one-hot matmul path) and f64 (the direct-dot path), with padded /
+    invalid queries parked. The exact-semantics schedules rely on this
+    equality to keep reference parity while moving the early descent
+    levels off the HBM gather unit (issue-bound, ~3 ns/row measured)."""
+    from madicp_tpu.ops.tree import search_forest
+
+    pts = four_walls
+    q_np = pts[rng.integers(0, len(pts), 777)] + rng.normal(0, 0.05, (777, 3))
+    valid_np = rng.uniform(size=777) < 0.9
+
+    # depth 9 exercises the payload-refetch extra gather (9 % 3 == 0)
+    # plus a full ladder: broadcast (1), select-tree (8), one-hot (64),
+    # one-hot (512); depth 10 the non-multiple-of-3 path
+    for depth in (9, 10):
+        for dtype in (jnp.float32, jnp.float64):
+            tpts = jnp.asarray(np.asarray(pts, float), dtype)
+            tv = jnp.ones(len(pts), bool)
+            tree, _ = jax.jit(
+                lambda p, v: build_tree(p, v, depth=depth, b_max=0.2,
+                                        b_min=0.1)
+            )(tpts, tv)
+            q = jnp.asarray(q_np, dtype)
+            valid = jnp.asarray(valid_np)
+            ref = search_forest(
+                tree.nav, q, 0, depth, valid=valid,
+                return_blocks=True, return_margin=True,
+            )
+            for ladder in (1, 2, 3, 4, 8):
+                out = search_forest(
+                    tree.nav, q, 0, depth, valid=valid,
+                    return_blocks=True, return_margin=True, ladder=ladder,
+                )
+                for a, b, what in zip(ref, out, ("ids", "blocks", "margins")):
+                    np.testing.assert_array_equal(
+                        np.asarray(a), np.asarray(b),
+                        err_msg=f"depth={depth} dtype={dtype} "
+                                f"ladder={ladder}: {what}",
+                    )
