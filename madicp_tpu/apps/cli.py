@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "uncertified entries into a per-keyframe static "
                         "buffer of this size and descend only those "
                         "(0 = off; see PipelineConfig.certify_compact)")
+    p.add_argument("--assoc-ladder", type=int, default=3,
+                   help="descent levels whose block rows are computed "
+                        "instead of gathered (bitwise-identical; see "
+                        "PipelineConfig.assoc_ladder)")
     p.add_argument("--deskew-mode", type=str, default="reference",
                    choices=("reference", "binned"),
                    help="deskew semantics (when the dataset enables "
@@ -160,6 +164,7 @@ def main(argv=None) -> int:
             reassoc_every=args.reassoc_every,
             certify=not args.no_certify,
             certify_compact=args.certify_compact,
+            assoc_ladder=args.assoc_ladder,
             deskew_mode=args.deskew_mode,
         )
 

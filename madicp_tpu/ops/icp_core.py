@@ -88,30 +88,55 @@ def terms_from_payload(
     t = X[:3, 3]
     rho = jnp.sqrt(jnp.asarray(rho_ker, dtype))
 
+    # struct-of-arrays throughout: TPU pads a (L, 3)/(L, 8) minor dim to
+    # 128 lanes, wasting 16-42x of the VPU on every elementwise op (the
+    # same finding that drove the SoA descent, scripts/round_probe.py) —
+    # so all per-leaf math runs on full-width (L,) columns. Operation
+    # ORDER matches the previous (L, 3) formulation so results agree to
+    # roundoff-reassociation only (golden pins at 1e-9 hold).
     ml = moving_pts @ R.T + t
-    f_pt, f_n = payload[:, 0:3], payload[:, 3:6]
-    f_bbox0, f_ok = payload[:, 6], payload[:, 7] == 3.0
+    mlx, mly, mlz = ml[:, 0], ml[:, 1], ml[:, 2]
+    mx, my, mz = moving_pts[:, 0], moving_pts[:, 1], moving_pts[:, 2]
+    fx, fy, fz = payload[:, 0], payload[:, 1], payload[:, 2]
+    nx, ny, nz = payload[:, 3], payload[:, 4], payload[:, 5]
+    f_bbox0 = payload[:, 6]
+    f_ok = payload[:, 7] == 3.0
 
     # adaptive-radius gate (radius grows with point range)
-    diff = ml - f_pt
-    dist = jnp.linalg.norm(diff, axis=-1)
-    src_ball = b_max + b_ratio * jnp.linalg.norm(moving_pts, axis=-1)
+    dx, dy, dz = mlx - fx, mly - fy, mlz - fz
+    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    src_ball = b_max + b_ratio * jnp.sqrt(mx * mx + my * my + mz * mz)
     matched = (dist <= src_ball) & moving_valid & f_ok
 
     # residual and analytic Jacobian: with u = R^T n,
     # J = [u^T, (m x u)^T]  (since -u^T skew(m) = (m x u)^T)
-    e = jnp.sum(diff * f_n, axis=-1)
-    u = f_n @ R
-    J = jnp.concatenate([u, jnp.cross(moving_pts, u)], axis=-1)  # (L, 6)
+    e = dx * nx + dy * ny + dz * nz
+    ux = nx * R[0, 0] + ny * R[1, 0] + nz * R[2, 0]
+    uy = nx * R[0, 1] + ny * R[1, 1] + nz * R[2, 1]
+    uz = nx * R[0, 2] + ny * R[1, 2] + nz * R[2, 2]
+    J = (
+        ux, uy, uz,
+        my * uz - mz * uy,
+        mz * ux - mx * uz,
+        mx * uy - my * ux,
+    )
 
     chi = jnp.abs(e)
     scale = jnp.where(chi > rho, rho / jnp.maximum(chi, 1e-30), 1.0)
     w_plan = jnp.clip(1.0 - f_bbox0 / b_max, 0.0, 1.0)
     s = scale * w_plan * w_plan * matched.astype(dtype)
 
-    Jw = J * jnp.sqrt(s)[:, None]
-    H = jnp.einsum("li,lj->ij", Jw, Jw, preferred_element_type=dtype)
-    b = jnp.einsum("li,l->i", J, s * e, preferred_element_type=dtype)
+    # normal equations as 21 + 6 full-width multiply-reduces (H is
+    # symmetric) instead of (L, 6) einsums over a padded J
+    se = s * e
+    Hm = [[None] * 6 for _ in range(6)]
+    for a in range(6):
+        Ja_s = J[a] * s
+        for c in range(a, 6):
+            v = jnp.sum(Ja_s * J[c])
+            Hm[a][c] = Hm[c][a] = v
+    H = jnp.stack([jnp.stack(r) for r in Hm])
+    b = jnp.stack([jnp.sum(Ji * se) for Ji in J])
     return IcpTerms(H=H, b=b, matched=matched)
 
 
