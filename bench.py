@@ -148,6 +148,11 @@ class BenchSetup:
             kw["certify_compact"] = (
                 int(spec.split(":")[1]) if ":" in spec else 4096
             )
+        elif spec.startswith("prefix"):
+            kw["certify"] = True
+            kw["certify_prefix"] = (
+                int(spec.split(":")[1]) if ":" in spec else 8192
+            )
         elif spec.startswith("fast"):
             kw["assoc_mode"] = "fast"
             if ":" in spec:
@@ -208,6 +213,8 @@ def default_schedule_name(cfg) -> str:
     headline automatically)."""
     if cfg.assoc_mode == "fast":
         return "fast"
+    if cfg.certify and cfg.certify_prefix:
+        return f"prefix:{cfg.certify_prefix}"
     if cfg.certify and cfg.certify_compact:
         return f"compact:{cfg.certify_compact}"
     if cfg.certify:

@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "uncertified entries into a per-keyframe static "
                         "buffer of this size and descend only those "
                         "(0 = off; see PipelineConfig.certify_compact)")
+    p.add_argument("--certify-prefix", type=int, default=0,
+                   help="certified exact mode: per-round uncertified-"
+                        "PREFIX buffer size under the global margin-"
+                        "sorted order (0 = off; see "
+                        "PipelineConfig.certify_prefix)")
     p.add_argument("--assoc-ladder", type=int, default=3,
                    help="descent levels whose block rows are computed "
                         "instead of gathered (bitwise-identical; see "
@@ -164,6 +169,7 @@ def main(argv=None) -> int:
             reassoc_every=args.reassoc_every,
             certify=not args.no_certify,
             certify_compact=args.certify_compact,
+            certify_prefix=args.certify_prefix,
             assoc_ladder=args.assoc_ladder,
             deskew_mode=args.deskew_mode,
         )

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--certify-compact", type=int, default=0,
                    help="per-keyframe compact re-descent buffer size "
                         "(0 = off; see PipelineConfig.certify_compact)")
+    p.add_argument("--certify-prefix", type=int, default=0,
+                   help="uncertified-prefix buffer size (0 = off; see "
+                        "PipelineConfig.certify_prefix)")
     p.add_argument("--deskew-mode", type=str, default="reference",
                    choices=("reference", "binned"))
     p.add_argument("--seq-axis", type=int, default=0,
@@ -134,6 +137,7 @@ def main(argv=None) -> int:
         reassoc_every=args.reassoc_every,
         certify=not args.no_certify,
         certify_compact=args.certify_compact,
+        certify_prefix=args.certify_prefix,
         deskew_mode=args.deskew_mode,
     )
     mesh = None

@@ -136,6 +136,30 @@ class PipelineConfig:
     # ~5x SLOWER than the parked sweep on the chip (whole-forest
     # gather operands are penalized) — hence per-keyframe.
     certify_compact: int = 0
+    # certify_prefix > 0: the PREFIX-certified exact schedule. r3 chip
+    # measurements killed both earlier accelerations of the certified
+    # schedule: parking provably-unchanged descents on row 0 saves
+    # nothing (descent work is issue/VPU-bound per ENTRY, not per
+    # touched cache line), and per-round compaction (certify_compact)
+    # costs more O(K x L) nonzero/scatter machinery than it saves. This
+    # variant removes the per-round bookkeeping entirely: after the
+    # full round-0 descent, each leaf gets a conservative normalized
+    # margin mu = min_k(margin_k) / (1 + ||m||) and the leaves are
+    # SORTED by mu once per scan. Each round accumulates the scalar
+    # motion budget S += ||dt|| + ||dR||_F; since a leaf's displacement
+    # since round 0 is <= S * (1 + ||m||), the uncertified set
+    # {mu <= T_r} (T_r = running max of S + fp-floor) is a PREFIX of
+    # the sorted order that only grows — found with one searchsorted
+    # and re-descended as a static [0:certify_prefix] slice (masked to
+    # the true count), caches updated by one contiguous slice write.
+    # Rounds whose prefix overflows the buffer re-descend everything
+    # (sound: a full re-descent under the current pose is exactly the
+    # plain exact round; skipped entries elsewhere still hold their
+    # round-0 result, which the certificate guarantees unchanged).
+    # Result-identical to the plain exact schedule (pinned by tests;
+    # same fp-safety floor as `certify`). Mutually exclusive with
+    # certify_compact.
+    certify_prefix: int = 0
 
     def __post_init__(self):
         if self.deskew_mode not in ("reference", "binned"):
@@ -161,6 +185,14 @@ class PipelineConfig:
         if self.assoc_ladder < 0:
             raise ValueError(
                 f"assoc_ladder must be >= 0, got {self.assoc_ladder}"
+            )
+        if self.certify_prefix < 0:
+            raise ValueError(
+                f"certify_prefix must be >= 0, got {self.certify_prefix}"
+            )
+        if self.certify_prefix and self.certify_compact:
+            raise ValueError(
+                "certify_prefix and certify_compact are mutually exclusive"
             )
 
     @property
@@ -440,6 +472,168 @@ def icp_rounds(
             # truncation (out-of-reach queries reading unmatched)
             ids, payload = assoc_scan(X, ids, force_full=True)
             H_last, b_last, matched = terms_scan(X, payload, True)
+            X = gn_se3_step(X, H_last, b_last)
+    elif n_its > 0 and cfg.certify and cfg.certify_prefix:
+        # ---- prefix-certified exact schedule ----
+        # (see PipelineConfig.certify_prefix for the scheme and its
+        # soundness argument; result-identical to plain exact, pinned
+        # by tests/test_pipeline.py::test_certify_prefix_*)
+        U = min(cfg.certify_prefix, L)
+        dinfo = jnp.finfo(dtype)
+        eps64 = jnp.asarray(64.0, dtype) * dinfo.eps
+        r_norm = jnp.linalg.norm(leaves_pts, axis=-1)  # (L,)
+        kf_live_k = kf_valid_f > 0  # (K,)
+
+        # round 0: full descent against every live keyframe, recording
+        # path margins (X0 is the baseline pose of every certificate)
+        ml0 = leaves_pts @ X0[:3, :3].T + X0[:3, 3]
+
+        def per_kf0(_, kf):
+            tree_fields, live = kf
+            nav = SearchTree(*tree_fields).nav
+            _, payload, margin = associate_packed(
+                nav, 0, cfg.depth, ml0, leaves_valid & live,
+                return_margin=True, ladder=cfg.assoc_ladder,
+            )
+            return 0, (payload, margin)
+
+        _, (payload0, margin0) = jax.lax.scan(
+            per_kf0, 0, (tuple(kf_tree), kf_live_k)
+        )
+        n_descents = kv * nv
+        if n_its == 1:
+            H_last, b_last, matched = terms_scan(X0, payload0, True)
+            X = gn_se3_step(X0, H_last, b_last)
+        else:
+            H0, b0 = terms_scan(X0, payload0, False)
+            X1 = gn_se3_step(X0, H0, b0)
+
+            # conservative global order: a leaf is re-descended against
+            # EVERY keyframe once its smallest per-keyframe margin is
+            # consumed (masked/padded entries carry finfo.max margins
+            # and sort last, so they never re-descend)
+            mu = jnp.min(margin0, axis=0) / (1.0 + r_norm)  # (L,)
+            order = jnp.argsort(mu)
+            mu_s = mu[order]
+            lps_s = leaves_pts[order]
+            lv_s = leaves_valid[order]
+            payload_s = payload0[:, order]
+            lps_pref = jax.lax.slice_in_dim(lps_s, 0, U, axis=0)
+            lv_pref = jax.lax.slice_in_dim(lv_s, 0, U, axis=0)
+            iota_u = jnp.arange(U)
+
+            def terms_sorted(X, payload, with_matched: bool):
+                terms = jax.vmap(
+                    lambda pl: terms_from_payload(
+                        pl, lps_s, lv_s, X,
+                        b_max=cfg.b_max, b_ratio=cfg.b_ratio,
+                        rho_ker=cfg.rho_ker,
+                    )
+                )(payload)
+                H = jnp.einsum("k,kij->ij", kf_valid_f, terms.H)
+                b = jnp.einsum("k,ki->i", kf_valid_f, terms.b)
+                if with_matched:
+                    m_s = jnp.any(
+                        terms.matched & kf_live_k[:, None], axis=0
+                    )
+                    # back to canonical leaf positions before any
+                    # cross-shard reduction
+                    matched = jnp.zeros(L, bool).at[order].set(m_s)
+                    return reduce_terms((H, b, matched))
+                return reduce_terms((H, b))
+
+            def reassoc_prefix(X, payload_s, n_r):
+                mlp = lps_pref @ X[:3, :3].T + X[:3, 3]
+                act = lv_pref & (iota_u < n_r)
+
+                def per_kf(_, kf):
+                    tree_fields, live, pl_k = kf
+                    nav = SearchTree(*tree_fields).nav
+                    _, pl_u = associate_packed(
+                        nav, 0, cfg.depth, mlp, act & live,
+                        ladder=cfg.assoc_ladder,
+                    )
+                    old = jax.lax.slice_in_dim(pl_k, 0, U, axis=0)
+                    new = jnp.where((act & live)[:, None], pl_u, old)
+                    return 0, jax.lax.dynamic_update_slice(
+                        pl_k, new, (0, 0)
+                    )
+
+                _, out = jax.lax.scan(
+                    per_kf, 0, (tuple(kf_tree), kf_live_k, payload_s)
+                )
+                return out
+
+            def reassoc_full(X, payload_s):
+                mls = lps_s @ X[:3, :3].T + X[:3, 3]
+
+                def per_kf(_, kf):
+                    tree_fields, live, pl_k = kf
+                    nav = SearchTree(*tree_fields).nav
+                    _, pl = associate_packed(
+                        nav, 0, cfg.depth, mls, lv_s & live,
+                        ladder=cfg.assoc_ladder,
+                    )
+                    return 0, jnp.where((lv_s & live)[:, None], pl, pl_k)
+
+                _, out = jax.lax.scan(
+                    per_kf, 0, (tuple(kf_tree), kf_live_k, payload_s)
+                )
+                return out
+
+            def motion_budget(Xa, Xb):
+                # scalar per-round bound: a query's displacement is
+                # ||(Xb-Xa) m|| <= (||dt|| + ||dR||_F ||m||)
+                #              <= (||dt|| + ||dR||_F)(1 + ||m||).
+                # Frobenius, not trig: the bound's own rounding error
+                # must stay under the eps64 floor (NOTES r2 rule)
+                dt = jnp.linalg.norm(Xb[:3, 3] - Xa[:3, 3])
+                dR = jnp.linalg.norm((Xb[:3, :3] - Xa[:3, :3]).ravel())
+                return dt + dR
+
+            def reassoc_round(X, payload_s, S, T, nd):
+                # T is a running MAX so the uncertified prefix only
+                # grows: a skipped entry was then NEVER re-descended,
+                # and its cache provably still holds its round-0 leaf
+                T = jnp.maximum(
+                    T, S + eps64 * (1.0 + jnp.linalg.norm(X[:3, 3]))
+                )
+                n_r = jnp.searchsorted(
+                    mu_s, T, side="right"
+                ).astype(jnp.int32)
+                fits = n_r <= U
+                payload_s = jax.lax.cond(
+                    fits,
+                    lambda: reassoc_prefix(X, payload_s, n_r),
+                    lambda: reassoc_full(X, payload_s),
+                )
+                nd = nd + jnp.where(
+                    fits,
+                    jnp.sum(lv_pref & (iota_u < n_r)).astype(jnp.int32) * kv,
+                    nv * kv,
+                )
+                return payload_s, T, nd
+
+            def one_round(r, carry):
+                Xp, X, payload_s, S, T, nd = carry
+                S = S + motion_budget(Xp, X)
+                payload_s, T, nd = reassoc_round(X, payload_s, S, T, nd)
+                H, b = terms_sorted(X, payload_s, False)
+                return (X, gn_se3_step(X, H, b), payload_s, S, T, nd)
+
+            zero = jnp.asarray(0, dtype)
+            Xp, X, payload_s, S, T, n_descents = jax.lax.fori_loop(
+                1, n_its - 1, one_round,
+                (X0, X1, payload_s, zero, zero, n_descents),
+            )
+            # final round: matched flags + H_last from this round's
+            # re-association, like the reference's last-iteration reset
+            # (pipeline.cpp:172-176)
+            S = S + motion_budget(Xp, X)
+            payload_s, T, n_descents = reassoc_round(
+                X, payload_s, S, T, n_descents
+            )
+            H_last, b_last, matched = terms_sorted(X, payload_s, True)
             X = gn_se3_step(X, H_last, b_last)
     elif n_its > 0 and cfg.certify:
         # ---- certified exact schedule (see PipelineConfig.certify) ----
@@ -848,6 +1042,7 @@ class Pipeline:
         realtime_recal_every: int = 32,
         certify: bool = True,
         certify_compact: int = 0,
+        certify_prefix: int = 0,
         assoc_ladder: int = 3,
     ):
         del num_threads
@@ -871,6 +1066,7 @@ class Pipeline:
             reassoc_backup=int(reassoc_backup),
             certify=bool(certify),
             certify_compact=int(certify_compact),
+            certify_prefix=int(certify_prefix),
             assoc_ladder=int(assoc_ladder),
         )
         self.realtime = bool(realtime)

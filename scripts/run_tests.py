@@ -33,9 +33,21 @@ SHARDS = [
         "tests/test_pipeline.py",
         "-k", "not (compute_batch or realtime or certified or fast_assoc)",
     ],
+    # the certified / fast-schedule / realtime pipeline tests are each a
+    # pile of distinct heavy compiles; one process holding all of them
+    # segfaults XLA-CPU from a cold cache (r3: rc=-11 after 12 min) —
+    # so each family gets its own process
     [
         "tests/test_pipeline.py",
-        "-k", "realtime or certified or fast_assoc",
+        "-k", "certified and not compact",
+    ],
+    [
+        "tests/test_pipeline.py",
+        "-k", "compact and not compute_batch",
+    ],
+    [
+        "tests/test_pipeline.py",
+        "-k", "(realtime or fast_assoc) and not compute_batch",
     ],
     # the chunk-scan compile is the suite's single heaviest XLA-CPU
     # compile; cold it SIGABRTs when it runs after other heavy compiles

@@ -160,3 +160,43 @@ def test_sharded_pipeline_matches_unsharded_fast(rng):
     np.testing.assert_allclose(
         np.asarray(state_s.X), np.asarray(state_u.X), atol=1e-9
     )
+
+
+def test_sharded_pipeline_matches_unsharded_prefix(rng):
+    """The kf-sharded step supports the prefix-certified exact schedule:
+    each device sorts by ITS OWN local keyframes' margins and re-descends
+    its own prefix; matched flags are unsorted back to canonical leaf
+    positions BEFORE the cross-shard any-reduce. Pinned against the
+    unsharded prefix run AND plain exact (result-identity is schedule-
+    wide)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, certify=True, certify_prefix=512)
+    plain = dataclasses.replace(CFG, certify=False)
+    scans, _ = synthetic_room_scans(rng, n_scans=4, n_points=1200, step=0.05)
+    mesh = make_mesh(kf=4, seq=2)
+
+    step_s, place = make_sharded_pipeline_step(cfg, mesh)
+    state_s = place(init_state(cfg))
+    state_u = init_state(cfg)
+    state_p = init_state(plain)
+
+    for i, scan in enumerate(scans):
+        pts, valid = _pad(scan, cfg.n_points)
+        stamp = jnp.asarray(float(i), cfg.dtype)
+        state_s, out_s = step_s(state_s, pts, valid, stamp)
+        state_u, out_u = pipeline_step(cfg, state_u, pts, valid, stamp)
+        state_p, out_p = pipeline_step(plain, state_p, pts, valid, stamp)
+        np.testing.assert_allclose(
+            np.asarray(out_s.pose), np.asarray(out_u.pose), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s.pose), np.asarray(out_p.pose), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s.inlier_ratio),
+            np.asarray(out_p.inlier_ratio), atol=1e-12,
+        )
+    np.testing.assert_allclose(
+        np.asarray(state_s.X), np.asarray(state_p.X), atol=1e-9
+    )

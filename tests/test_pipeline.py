@@ -208,6 +208,52 @@ def test_certified_compact_matches_plain_exact(rng):
         assert a.descents() == c.descents()
 
 
+def test_certify_prefix_matches_plain_exact(rng):
+    """certify_prefix (global margin-sorted order, per-round uncertified
+    PREFIX re-descent) must be RESULT-IDENTICAL to the plain exact
+    schedule. Run at two buffer sizes — one so small most rounds
+    OVERFLOW into the full-sweep fallback, one large enough that
+    converged rounds fit the prefix — so both lax.cond paths execute.
+    f64, multi-scan, with keyframe promotions."""
+    scans, _ = synthetic_room_scans(rng, n_scans=6, step=0.06)
+    b = _make_pipeline(assoc_mode="exact", certify=False, num_keyframes=2)
+    prefixes = [
+        _make_pipeline(assoc_mode="exact", certify=True, num_keyframes=2,
+                       certify_prefix=U)
+        for U in (8, 1024)
+    ]
+    for i, scan in enumerate(scans):
+        b.compute(0.1 * i, scan)
+        for a in prefixes:
+            a.compute(0.1 * i, scan)
+            np.testing.assert_allclose(
+                a.current_pose(), b.current_pose(), atol=1e-9,
+                err_msg=f"scan {i} U={a.cfg.certify_prefix}: "
+                        f"prefix certified diverged from plain",
+            )
+            assert a.inlier_ratio() == b.inlier_ratio(), f"scan {i}"
+            assert a.is_map_updated() == b.is_map_updated(), f"scan {i}"
+    # the large prefix must actually skip work once GN converges; the
+    # scalar Frobenius budget is looser than the per-leaf certificate,
+    # so only require a material saving vs the full schedule
+    kv = int(np.asarray(b.state.kf_valid.sum()))
+    full = b.cfg.max_icp_iterations * kv * int(np.asarray(b._last.n_leaves))
+    assert kv > 0 and b.descents() == full
+    assert 0 < prefixes[1].descents() < (3 * full) // 4
+    # the tiny prefix overflows into full sweeps: never fewer descents
+    # than the big one
+    assert prefixes[0].descents() >= prefixes[1].descents()
+
+
+def test_certify_prefix_config_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        _make_pipeline(certify_prefix=64, certify_compact=64)
+    with pytest.raises(ValueError):
+        _make_pipeline(certify_prefix=-1)
+
+
 def test_certified_f32_divergence_bounded(rng):
     """At f32 (the shipped bench/production dtype) the eps_cert safety
     window is wide enough that a FEW near-zero-slack entries can keep a
