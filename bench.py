@@ -236,7 +236,9 @@ def main():
     schedules = os.environ.get("BENCH_SCHEDULES", "").split(",")
     schedules = [s.strip() for s in schedules if s.strip()]
     if not schedules:
-        schedules = ["exact", "certified", "compact:4096", "fast"]
+        schedules = [
+            "exact", "certified", "prefix:8192", "compact:4096", "fast",
+        ]
         if headline not in schedules:
             schedules.insert(0, headline)
 

@@ -481,7 +481,6 @@ def icp_rounds(
         U = min(cfg.certify_prefix, L)
         dinfo = jnp.finfo(dtype)
         eps64 = jnp.asarray(64.0, dtype) * dinfo.eps
-        r_norm = jnp.linalg.norm(leaves_pts, axis=-1)  # (L,)
         kf_live_k = kf_valid_f > 0  # (K,)
 
         # round 0: full descent against every live keyframe, recording
@@ -507,79 +506,54 @@ def icp_rounds(
         else:
             H0, b0 = terms_scan(X0, payload0, False)
             X1 = gn_se3_step(X0, H0, b0)
-
-            # conservative global order: a leaf is re-descended against
-            # EVERY keyframe once its smallest per-keyframe margin is
-            # consumed (masked/padded entries carry finfo.max margins
-            # and sort last, so they never re-descend)
-            mu = jnp.min(margin0, axis=0) / (1.0 + r_norm)  # (L,)
-            order = jnp.argsort(mu)
-            mu_s = mu[order]
-            lps_s = leaves_pts[order]
-            lv_s = leaves_valid[order]
-            payload_s = payload0[:, order]
-            lps_pref = jax.lax.slice_in_dim(lps_s, 0, U, axis=0)
-            lv_pref = jax.lax.slice_in_dim(lv_s, 0, U, axis=0)
             iota_u = jnp.arange(U)
 
-            def terms_sorted(X, payload, with_matched: bool):
+            # PER-KEYFRAME sorted baselines: a min-over-keyframes order
+            # is hopeless — each leaf takes the smallest of K margin
+            # draws, so with 16 keyframes nearly every leaf looks
+            # uncertified (measured r3 sched_probe: descents == full).
+            # Each keyframe therefore keeps its OWN margin-sorted order,
+            # prefix and baseline epoch (S/T per keyframe).
+            def sort_kf(margin, payload, lps, lv, order):
+                """One keyframe's new certification baseline from its
+                full re-association (masked/padded entries carry
+                finfo.max margins and sort last, so they never
+                re-descend). ``order`` composes canonical->sorted
+                permutations across baselines."""
+                mu = margin / (1.0 + jnp.linalg.norm(lps, axis=-1))
+                perm = jnp.argsort(mu)
+                return (
+                    payload[perm], lps[perm], lv[perm], mu[perm],
+                    order[perm],
+                )
+
+            sorted0 = jax.vmap(
+                lambda mg, pl: sort_kf(
+                    mg, pl, leaves_pts, leaves_valid,
+                    jnp.arange(L, dtype=jnp.int32),
+                )
+            )(margin0, payload0)
+
+            def terms_sorted(X, sstate, with_matched: bool):
+                payload, lps_s, lv_s, _, order = sstate
                 terms = jax.vmap(
-                    lambda pl: terms_from_payload(
-                        pl, lps_s, lv_s, X,
+                    lambda pl, lp_k, lv_k: terms_from_payload(
+                        pl, lp_k, lv_k, X,
                         b_max=cfg.b_max, b_ratio=cfg.b_ratio,
                         rho_ker=cfg.rho_ker,
                     )
-                )(payload)
+                )(payload, lps_s, lv_s)
                 H = jnp.einsum("k,kij->ij", kf_valid_f, terms.H)
                 b = jnp.einsum("k,ki->i", kf_valid_f, terms.b)
                 if with_matched:
-                    m_s = jnp.any(
-                        terms.matched & kf_live_k[:, None], axis=0
-                    )
-                    # back to canonical leaf positions before any
-                    # cross-shard reduction
-                    matched = jnp.zeros(L, bool).at[order].set(m_s)
-                    return reduce_terms((H, b, matched))
+                    m_s = terms.matched & kf_live_k[:, None]  # (K, L)
+                    # back to canonical leaf positions (per-keyframe
+                    # orders differ) BEFORE any cross-shard reduction
+                    m_u = jnp.zeros((K, L), bool).at[
+                        jnp.arange(K)[:, None], order
+                    ].set(m_s)
+                    return reduce_terms((H, b, jnp.any(m_u, axis=0)))
                 return reduce_terms((H, b))
-
-            def reassoc_prefix(X, payload_s, n_r):
-                mlp = lps_pref @ X[:3, :3].T + X[:3, 3]
-                act = lv_pref & (iota_u < n_r)
-
-                def per_kf(_, kf):
-                    tree_fields, live, pl_k = kf
-                    nav = SearchTree(*tree_fields).nav
-                    _, pl_u = associate_packed(
-                        nav, 0, cfg.depth, mlp, act & live,
-                        ladder=cfg.assoc_ladder,
-                    )
-                    old = jax.lax.slice_in_dim(pl_k, 0, U, axis=0)
-                    new = jnp.where((act & live)[:, None], pl_u, old)
-                    return 0, jax.lax.dynamic_update_slice(
-                        pl_k, new, (0, 0)
-                    )
-
-                _, out = jax.lax.scan(
-                    per_kf, 0, (tuple(kf_tree), kf_live_k, payload_s)
-                )
-                return out
-
-            def reassoc_full(X, payload_s):
-                mls = lps_s @ X[:3, :3].T + X[:3, 3]
-
-                def per_kf(_, kf):
-                    tree_fields, live, pl_k = kf
-                    nav = SearchTree(*tree_fields).nav
-                    _, pl = associate_packed(
-                        nav, 0, cfg.depth, mls, lv_s & live,
-                        ladder=cfg.assoc_ladder,
-                    )
-                    return 0, jnp.where((lv_s & live)[:, None], pl, pl_k)
-
-                _, out = jax.lax.scan(
-                    per_kf, 0, (tuple(kf_tree), kf_live_k, payload_s)
-                )
-                return out
 
             def motion_budget(Xa, Xb):
                 # scalar per-round bound: a query's displacement is
@@ -591,49 +565,96 @@ def icp_rounds(
                 dR = jnp.linalg.norm((Xb[:3, :3] - Xa[:3, :3]).ravel())
                 return dt + dR
 
-            def reassoc_round(X, payload_s, S, T, nd):
-                # T is a running MAX so the uncertified prefix only
-                # grows: a skipped entry was then NEVER re-descended,
-                # and its cache provably still holds its round-0 leaf
+            def reassoc_round(X, sstate, S, T, nd):
+                # S/T are (K,): per-keyframe baseline epochs. T is a
+                # running MAX, so within one epoch a keyframe's
+                # uncertified prefix only GROWS: a skipped entry was
+                # never re-descended since the epoch's full sweep, and
+                # its cache provably still holds that sweep's leaf.
                 T = jnp.maximum(
                     T, S + eps64 * (1.0 + jnp.linalg.norm(X[:3, 3]))
                 )
-                n_r = jnp.searchsorted(
-                    mu_s, T, side="right"
-                ).astype(jnp.int32)
-                fits = n_r <= U
-                payload_s = jax.lax.cond(
-                    fits,
-                    lambda: reassoc_prefix(X, payload_s, n_r),
-                    lambda: reassoc_full(X, payload_s),
+
+                def per_kf(_, kf):
+                    (tree_fields, live, pl_k, lps_k, lv_k, mu_k,
+                     ord_k, T_k, S_k) = kf
+                    nav = SearchTree(*tree_fields).nav
+                    n_r = jnp.searchsorted(
+                        mu_k, T_k, side="right"
+                    ).astype(jnp.int32)
+
+                    def prefix_branch():
+                        lps_pref = jax.lax.slice_in_dim(lps_k, 0, U, axis=0)
+                        lv_pref = jax.lax.slice_in_dim(lv_k, 0, U, axis=0)
+                        mlp = lps_pref @ X[:3, :3].T + X[:3, 3]
+                        act = lv_pref & (iota_u < n_r) & live
+                        _, pl_u = associate_packed(
+                            nav, 0, cfg.depth, mlp, act,
+                            ladder=cfg.assoc_ladder,
+                        )
+                        old = jax.lax.slice_in_dim(pl_k, 0, U, axis=0)
+                        new = jnp.where(act[:, None], pl_u, old)
+                        return (
+                            jax.lax.dynamic_update_slice(pl_k, new, (0, 0)),
+                            lps_k, lv_k, mu_k, ord_k, T_k, S_k,
+                            jnp.sum(act).astype(jnp.int32),
+                        )
+
+                    def reset_branch():
+                        # prefix overflow: re-descend this keyframe's
+                        # whole leaf set, refresh its margins, re-sort,
+                        # restart its budget — this round's pose becomes
+                        # ITS new certification baseline
+                        mls = lps_k @ X[:3, :3].T + X[:3, 3]
+                        act = lv_k & live
+                        _, pl, mg = associate_packed(
+                            nav, 0, cfg.depth, mls, act,
+                            return_margin=True, ladder=cfg.assoc_ladder,
+                        )
+                        pl = jnp.where(act[:, None], pl, pl_k)
+                        pl, lps2, lv2, mu2, ord2 = sort_kf(
+                            mg, pl, lps_k, lv_k, ord_k
+                        )
+                        zero = jnp.asarray(0, dtype)
+                        return (
+                            pl, lps2, lv2, mu2, ord2, zero, zero,
+                            jnp.sum(act).astype(jnp.int32),
+                        )
+
+                    return 0, jax.lax.cond(
+                        n_r <= U, prefix_branch, reset_branch
+                    )
+
+                payload_s, lps_s, lv_s, mu_s, order = sstate
+                _, (payload_s, lps_s, lv_s, mu_s, order, T, S, counts
+                    ) = jax.lax.scan(
+                    per_kf, 0,
+                    (tuple(kf_tree), kf_live_k, payload_s, lps_s, lv_s,
+                     mu_s, order, T, S),
                 )
-                nd = nd + jnp.where(
-                    fits,
-                    jnp.sum(lv_pref & (iota_u < n_r)).astype(jnp.int32) * kv,
-                    nv * kv,
-                )
-                return payload_s, T, nd
+                nd = nd + jnp.sum(counts, dtype=jnp.int32)
+                return (payload_s, lps_s, lv_s, mu_s, order), S, T, nd
 
             def one_round(r, carry):
-                Xp, X, payload_s, S, T, nd = carry
+                Xp, X, sstate, S, T, nd = carry
                 S = S + motion_budget(Xp, X)
-                payload_s, T, nd = reassoc_round(X, payload_s, S, T, nd)
-                H, b = terms_sorted(X, payload_s, False)
-                return (X, gn_se3_step(X, H, b), payload_s, S, T, nd)
+                sstate, S, T, nd = reassoc_round(X, sstate, S, T, nd)
+                H, b = terms_sorted(X, sstate, False)
+                return (X, gn_se3_step(X, H, b), sstate, S, T, nd)
 
-            zero = jnp.asarray(0, dtype)
-            Xp, X, payload_s, S, T, n_descents = jax.lax.fori_loop(
+            zeros_k = jnp.zeros((K,), dtype)
+            Xp, X, sstate, S, T, n_descents = jax.lax.fori_loop(
                 1, n_its - 1, one_round,
-                (X0, X1, payload_s, zero, zero, n_descents),
+                (X0, X1, sorted0, zeros_k, zeros_k, n_descents),
             )
             # final round: matched flags + H_last from this round's
             # re-association, like the reference's last-iteration reset
             # (pipeline.cpp:172-176)
             S = S + motion_budget(Xp, X)
-            payload_s, T, n_descents = reassoc_round(
-                X, payload_s, S, T, n_descents
+            sstate, S, T, n_descents = reassoc_round(
+                X, sstate, S, T, n_descents
             )
-            H_last, b_last, matched = terms_sorted(X, payload_s, True)
+            H_last, b_last, matched = terms_sorted(X, sstate, True)
             X = gn_se3_step(X, H_last, b_last)
     elif n_its > 0 and cfg.certify:
         # ---- certified exact schedule (see PipelineConfig.certify) ----

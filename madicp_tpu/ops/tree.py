@@ -434,28 +434,21 @@ def build_tree(
     return tree, point_leaf
 
 
-def _select_cols_tree(tab: jnp.ndarray, idx: jnp.ndarray) -> list:
-    """(N, W) x (Q,) -> W selected (Q,) columns via log2(N)-deep chains
-    of full-width vector selects — zero HBM gather rows issued, zero
-    minor-dim padding. Bitwise-equal to ``jnp.take`` + column split (it
-    moves the same words, just via the VPU). N must be a (small) power
-    of two; cost is W*(N-1) selects over (Q,)."""
-    N, W = tab.shape
-    bits = []
-    b = 0
-    while (1 << b) < N:
-        bits.append(((idx >> b) & 1).astype(bool))
-        b += 1
-    cols = []
-    for c in range(W):
-        cands = [tab[i, c] for i in range(N)]  # scalars
-        for bb in bits:
-            cands = [
-                jnp.where(bb, cands[2 * i + 1], cands[2 * i])
-                for i in range(len(cands) // 2)
-            ]
-        cols.append(cands[0])
-    return cols
+def _select_rows_tree(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(N, W) x (Q,) -> (Q, W) row selection as a log2(N)-deep chain of
+    vector selects — zero HBM gather rows issued. Bitwise-equal to
+    ``jnp.take`` (it moves the same f32 words, just via the VPU).
+    N must be a (small) power of two; cost is N-1 selects over (Q, W)."""
+    cands = [tab[i] for i in range(tab.shape[0])]
+    bit = 0
+    while len(cands) > 1:
+        b = ((idx >> bit) & 1).astype(bool)[:, None]
+        cands = [
+            jnp.where(b, cands[2 * i + 1], cands[2 * i])
+            for i in range(len(cands) // 2)
+        ]
+        bit += 1
+    return cands[0]
 
 
 def _select_rows_onehot(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -586,44 +579,28 @@ def search_forest(
     base = jnp.asarray(base, jnp.int32)
 
     big = jnp.asarray(jnp.finfo(nav.dtype).max, nav.dtype)
-    W = nav.shape[-1]
-    # struct-of-arrays: every per-query intermediate is a full-width
-    # (Q,) vector. TPU tiles the two minor dims (8, 128), so (Q, 8) /
-    # (Q, 3) intermediates pad their minor dim to 128 lanes and waste
-    # 16-42x of the VPU — and the descent's substep math, not its HBM
-    # gathers, is the measured critical path (scripts/round_probe.py:
-    # removing 5 of 6 gathers moves nothing). Only the gather itself
-    # and the one-hot selection stay (Q, W); their results are split
-    # into columns once per step.
-    qx, qy, qz = queries[:, 0], queries[:, 1], queries[:, 2]
 
-    def step_body(g, carry, cols, at):
-        """One 3-level descent step given this step's block columns.
+    def step_body(g, carry, row, at):
+        """One 3-level descent step given this step's block rows.
 
         ``at`` masks queries AT this step's level (compute-selected rows
         are only meaningful for them); ``None`` for the gather path,
-        where the row is each query's own node row and panel 0 is
+        where ``row`` is each query's own node row and panel 0 is
         bitwise the carried block for parked queries."""
         node, blk, margin = carry
         if at is None:
-            blk = tuple(cols[0:8])
+            blk = row[:, 0:8]
         else:
-            blk = tuple(
-                jnp.where(at, c, b) for c, b in zip(cols[0:8], blk)
-            )
-        b1 = None
+            blk = jnp.where(at[:, None], row[:, 0:8], blk)
+        b1 = jnp.zeros((Q,), bool)
         for s in range(3):
             active = (g * 3 + s) < depth if known_levels else True
-            sval = (
-                (qx - blk[0]) * blk[3]
-                + (qy - blk[1]) * blk[4]
-                + (qz - blk[2]) * blk[5]
-            )
+            sval = jnp.sum((queries - blk[:, 0:3]) * blk[:, 3:6], -1)
             side = sval >= 0
-            flags = blk[7]
+            flags = blk[:, 7]
             leaf = flags == 3.0
             real = flags >= 2.0
-            kids = blk[6]
+            kids = blk[:, 6]
             has = jnp.where(side, kids >= 2.0, (kids == 1.0) | (kids == 3.0))
             # the side decision is consequential at every real interior
             # node evaluated (it picks the child AND gates `has`), so the
@@ -636,32 +613,19 @@ def search_forest(
             step = consider & has
             node = jnp.where(step, 2 * node + side.astype(jnp.int32), node)
             if s == 0:
-                blk = tuple(
-                    jnp.where(
-                        step, jnp.where(side, cols[16 + i], cols[8 + i]), b
-                    )
-                    for i, b in enumerate(blk)
+                child = jnp.where(
+                    side[:, None], row[:, 16:24], row[:, 8:16]
                 )
+                blk = jnp.where(step[:, None], child, blk)
                 b1 = side & step
             elif s == 1:
-                blk = tuple(
-                    jnp.where(
-                        step,
-                        jnp.where(
-                            b1,
-                            jnp.where(side, cols[48 + i], cols[40 + i]),
-                            jnp.where(side, cols[32 + i], cols[24 + i]),
-                        ),
-                        b,
-                    )
-                    for i, b in enumerate(blk)
-                )
+                lo = jnp.where(side[:, None], row[:, 32:40], row[:, 24:32])
+                hi = jnp.where(side[:, None], row[:, 48:56], row[:, 40:48])
+                child = jnp.where(b1[:, None], hi, lo)
+                blk = jnp.where(step[:, None], child, blk)
         return node, blk, margin
 
-    def row_cols(row):
-        return [row[:, i] for i in range(W)]
-
-    blk0 = tuple(jnp.zeros((Q,), nav.dtype) for _ in range(8))
+    blk0 = jnp.zeros((Q, 8), nav.dtype)
     margin0 = jnp.full((Q,), big, nav.dtype)
     carry = (node0, blk0, margin0)
     use_ladder = ladder > 0 and known_levels and isinstance(base, int) and base == 0
@@ -673,29 +637,28 @@ def search_forest(
                 node = carry[0]
                 at = node >= lvl
                 if lvl == 1:
-                    cols = [nav[1, i] for i in range(W)]  # scalars
+                    row = jnp.broadcast_to(nav[1], (Q, nav.shape[-1]))
                 else:
                     tab = jax.lax.slice_in_dim(nav, lvl, 2 * lvl, axis=0)
                     local = jnp.clip(node - lvl, 0, lvl - 1)
                     if lvl <= 8:
-                        cols = _select_cols_tree(tab, local)
+                        row = _select_rows_tree(tab, local)
                     else:
-                        cols = row_cols(_select_rows_onehot(tab, local))
-                carry = step_body(g, carry, cols, at)
+                        row = _select_rows_onehot(tab, local)
+                carry = step_body(g, carry, row, at)
             else:
                 row = jnp.take(nav, base + carry[0], axis=0)
-                carry = step_body(g, carry, row_cols(row), None)
+                carry = step_body(g, carry, row, None)
     else:
         carry = jax.lax.fori_loop(
             0,
             n_gathers,
             lambda g, c: step_body(
-                g, c, row_cols(jnp.take(nav, base + c[0], axis=0)), None
+                g, c, jnp.take(nav, base + c[0], axis=0), None
             ),
             carry,
         )
-    node, blk8, margin = carry
-    blk = jnp.stack(blk8, axis=-1)  # (Q, 8) payload blocks
+    node, blk, margin = carry
     out = (node,)
     if return_blocks:
         out += (blk,)
