@@ -514,13 +514,24 @@ def icp_rounds(
             # uncertified (measured r3 sched_probe: descents == full).
             # Each keyframe therefore keeps its OWN margin-sorted order,
             # prefix and baseline epoch (S/T per keyframe).
+            # radius scale of the 1D certificate key. The displacement
+            # bound is 2D — A + C*r with A = sum ||dt||, C = sum
+            # ||dR||_F — and merging it as (A+C)(1+r) inflates pure-
+            # translation budgets ~(1+r)x for far points (measured r3:
+            # every round overflowed). The key mu = margin/(E0 + r)
+            # with threshold max(A/E0, C) is sound
+            # (max(A/E0,C)*(E0+r) >= A + C*r) and near-exact when
+            # A/C ~ E0, which GN's coupled translation/rotation steps
+            # sit near for car-like scenes (E0 ~ scene radius / sqrt 2)
+            E0 = 16.0
+
             def sort_kf(margin, payload, lps, lv, order):
                 """One keyframe's new certification baseline from its
                 full re-association (masked/padded entries carry
                 finfo.max margins and sort last, so they never
                 re-descend). ``order`` composes canonical->sorted
                 permutations across baselines."""
-                mu = margin / (1.0 + jnp.linalg.norm(lps, axis=-1))
+                mu = margin / (E0 + jnp.linalg.norm(lps, axis=-1))
                 perm = jnp.argsort(mu)
                 return (
                     payload[perm], lps[perm], lv[perm], mu[perm],
@@ -556,28 +567,34 @@ def icp_rounds(
                 return reduce_terms((H, b))
 
             def motion_budget(Xa, Xb):
-                # scalar per-round bound: a query's displacement is
-                # ||(Xb-Xa) m|| <= (||dt|| + ||dR||_F ||m||)
-                #              <= (||dt|| + ||dR||_F)(1 + ||m||).
+                # per-round displacement bound components: a query moves
+                # ||(Xb-Xa) m|| <= ||dt|| + ||dR||_F ||m|| = A + C r.
                 # Frobenius, not trig: the bound's own rounding error
                 # must stay under the eps64 floor (NOTES r2 rule)
                 dt = jnp.linalg.norm(Xb[:3, 3] - Xa[:3, 3])
                 dR = jnp.linalg.norm((Xb[:3, :3] - Xa[:3, :3]).ravel())
-                return dt + dR
+                return dt, dR
 
             def reassoc_round(X, sstate, S, T, nd):
-                # S/T are (K,): per-keyframe baseline epochs. T is a
-                # running MAX, so within one epoch a keyframe's
-                # uncertified prefix only GROWS: a skipped entry was
-                # never re-descended since the epoch's full sweep, and
-                # its cache provably still holds that sweep's leaf.
+                # S = (A, C) per-keyframe translation/rotation budget
+                # accumulators since each keyframe's baseline epoch. T
+                # (K,) is a running MAX, so within one epoch a
+                # keyframe's uncertified prefix only GROWS: a skipped
+                # entry was never re-descended since the epoch's full
+                # sweep, and its cache provably still holds that
+                # sweep's leaf. Skip is sound: mu > T implies
+                # margin > max(A/E0, C)(E0+r) + eps64(1+tnorm)(E0+r)
+                #        >= A + C r + eps_cert.
+                A, C = S
                 T = jnp.maximum(
-                    T, S + eps64 * (1.0 + jnp.linalg.norm(X[:3, 3]))
+                    T,
+                    jnp.maximum(A / E0, C)
+                    + eps64 * (1.0 + jnp.linalg.norm(X[:3, 3])),
                 )
 
                 def per_kf(_, kf):
                     (tree_fields, live, pl_k, lps_k, lv_k, mu_k,
-                     ord_k, T_k, S_k) = kf
+                     ord_k, T_k, A_k, C_k) = kf
                     nav = SearchTree(*tree_fields).nav
                     n_r = jnp.searchsorted(
                         mu_k, T_k, side="right"
@@ -596,7 +613,7 @@ def icp_rounds(
                         new = jnp.where(act[:, None], pl_u, old)
                         return (
                             jax.lax.dynamic_update_slice(pl_k, new, (0, 0)),
-                            lps_k, lv_k, mu_k, ord_k, T_k, S_k,
+                            lps_k, lv_k, mu_k, ord_k, T_k, A_k, C_k,
                             jnp.sum(act).astype(jnp.int32),
                         )
 
@@ -617,7 +634,7 @@ def icp_rounds(
                         )
                         zero = jnp.asarray(0, dtype)
                         return (
-                            pl, lps2, lv2, mu2, ord2, zero, zero,
+                            pl, lps2, lv2, mu2, ord2, zero, zero, zero,
                             jnp.sum(act).astype(jnp.int32),
                         )
 
@@ -626,18 +643,19 @@ def icp_rounds(
                     )
 
                 payload_s, lps_s, lv_s, mu_s, order = sstate
-                _, (payload_s, lps_s, lv_s, mu_s, order, T, S, counts
+                _, (payload_s, lps_s, lv_s, mu_s, order, T, A, C, counts
                     ) = jax.lax.scan(
                     per_kf, 0,
                     (tuple(kf_tree), kf_live_k, payload_s, lps_s, lv_s,
-                     mu_s, order, T, S),
+                     mu_s, order, T, A, C),
                 )
                 nd = nd + jnp.sum(counts, dtype=jnp.int32)
-                return (payload_s, lps_s, lv_s, mu_s, order), S, T, nd
+                return (payload_s, lps_s, lv_s, mu_s, order), (A, C), T, nd
 
             def one_round(r, carry):
                 Xp, X, sstate, S, T, nd = carry
-                S = S + motion_budget(Xp, X)
+                dt, dR = motion_budget(Xp, X)
+                S = (S[0] + dt, S[1] + dR)
                 sstate, S, T, nd = reassoc_round(X, sstate, S, T, nd)
                 H, b = terms_sorted(X, sstate, False)
                 return (X, gn_se3_step(X, H, b), sstate, S, T, nd)
@@ -645,12 +663,13 @@ def icp_rounds(
             zeros_k = jnp.zeros((K,), dtype)
             Xp, X, sstate, S, T, n_descents = jax.lax.fori_loop(
                 1, n_its - 1, one_round,
-                (X0, X1, sorted0, zeros_k, zeros_k, n_descents),
+                (X0, X1, sorted0, (zeros_k, zeros_k), zeros_k, n_descents),
             )
             # final round: matched flags + H_last from this round's
             # re-association, like the reference's last-iteration reset
             # (pipeline.cpp:172-176)
-            S = S + motion_budget(Xp, X)
+            dt, dR = motion_budget(Xp, X)
+            S = (S[0] + dt, S[1] + dR)
             sstate, S, T, n_descents = reassoc_round(
                 X, sstate, S, T, n_descents
             )
