@@ -249,6 +249,15 @@ def main(argv=None) -> int:
                     f"--max-leaves (map and inlier ratio are truncated)",
                     file=sys.stderr,
                 )
+            pts_dropped = pipeline.points_dropped()
+            if pts_dropped:
+                print(
+                    f"warning: scan {pipeline.current_id()} exceeded the "
+                    f"point capacity by {pts_dropped} points — raise "
+                    f"--n-points (the scan entered the pipeline "
+                    f"truncated; the reference ingests every point)",
+                    file=sys.stderr,
+                )
 
             if visualizer is not None:
                 if pipeline.is_map_updated():

@@ -99,7 +99,8 @@ class PipelineConfig:
     # Select-ladder descent (every schedule): replace the first
     # ``assoc_ladder`` descent gathers per root descent with compute
     # (root-row broadcast / select tree / exact one-hot MXU matmul) —
-    # bitwise-identical results (see ops/tree.py::search_forest). TPU
+    # ids/payloads bitwise-identical, path margins within the eps_cert
+    # fp floor (see ops/tree.py::search_forest). TPU
     # descent gathers are issue-bound at ~3 ns/row no matter what they
     # touch (measured, scripts/gather_probe.py), so the early descent
     # levels — whose block tables are tiny — are cheaper to compute
@@ -1139,17 +1140,20 @@ class Pipeline:
     def stage(self, points: np.ndarray):
         """Pad a cloud and start its host->device transfer.
 
-        Returns device arrays for :meth:`compute_device`. Call from a
+        Returns ``(pts, valid, n_dropped)`` for :meth:`compute_device`
+        (``n_dropped`` is a host int — points beyond the static
+        ``n_points`` capacity, truncated in input order). Call from a
         prefetch thread to overlap the (measured ~9 ms/scan on a
         tunneled TPU host) input transfer with the previous scan's
         device step.
         """
-        pts, valid = self._pad(points)
-        return jnp.asarray(pts), jnp.asarray(valid)
+        pts, valid, n_dropped = self._pad(points)
+        return jnp.asarray(pts), jnp.asarray(valid), n_dropped
 
-    def compute_device(self, stamp: float, pts, valid) -> None:
+    def compute_device(self, stamp: float, pts, valid, n_dropped: int = 0) -> None:
         """Process a scan already padded and staged on device (see
         :meth:`stage`); otherwise identical to :meth:`compute`."""
+        self._n_points_dropped = int(n_dropped)
         if (
             self.realtime
             and self._rt_scans >= 2
@@ -1210,8 +1214,10 @@ class Pipeline:
         assert len(clouds) == C and C >= 1
         pts = np.zeros((C, self.cfg.n_points, 3), np.dtype(self.cfg.dtype))
         val = np.zeros((C, self.cfg.n_points), bool)
+        self._n_points_dropped = 0
         for i, cloud in enumerate(clouds):
-            pts[i], val[i] = self._pad(cloud)
+            pts[i], val[i], nd = self._pad(cloud)
+            self._n_points_dropped += nd
         self.state, outs = _pipeline_chunk_donated(
             self.cfg,
             self.state,
@@ -1272,10 +1278,16 @@ class Pipeline:
         self._rt_calibrated = True
 
     def _pad(self, points: np.ndarray):
-        """Pad a cloud to the static shape; returns HOST (numpy) arrays."""
+        """Pad a cloud to the static shape; returns HOST arrays plus the
+        count of points truncated by the capacity (the reference never
+        drops input, ``pipeline.cpp:125-144`` — a nonzero count means
+        ``n_points`` is too small for this sensor/scene and must be
+        raised; surfaced via :meth:`points_dropped` and a CLI warning,
+        mirroring ``leaves_dropped``)."""
         points = np.asarray(points)
         n = points.shape[0]
         N = self.cfg.n_points
+        n_dropped = max(0, n - N)
         if n > N:
             points = points[:N]
             n = N
@@ -1283,7 +1295,7 @@ class Pipeline:
         pts[:n] = points
         valid = np.zeros(N, bool)
         valid[:n] = True
-        return pts, valid
+        return pts, valid, n_dropped
 
     # -- accessors (reference pipeline.h:60-71, pipeline.cpp:286-308) -------
     def current_pose(self) -> np.ndarray:
@@ -1322,6 +1334,14 @@ class Pipeline:
         return (
             int(np.asarray(self._last.n_leaves_dropped)) if self._last else 0
         )
+
+    def points_dropped(self) -> int:
+        """Input points of the last scan truncated by the static
+        ``n_points`` capacity (the reference ingests every point,
+        ``pipeline.cpp:125-144``); nonzero means ``n_points`` is too
+        small for this sensor and the scan entered the pipeline
+        incomplete — raise ``--n-points``."""
+        return getattr(self, "_n_points_dropped", 0)
 
     def current_leaves(self) -> np.ndarray:
         """Current-scan leaf points in the map frame (viewer accessor)."""

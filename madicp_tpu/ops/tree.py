@@ -464,8 +464,8 @@ def _select_rows_onehot(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     subtraction), each part is selected by a bf16 one-hot matmul with
     f32 accumulation, and the three exact selections sum back to ``x``
     bitwise (the parts are non-overlapping, so each partial sum is
-    representable). Pinned bitwise against ``jnp.take`` by
-    tests/test_tree.py::test_ladder_descent_bitwise_identical."""
+    representable). Pinned bitwise against ``jnp.take`` (ids/blocks) by
+    tests/test_tree.py::test_ladder_descent_matches_gather_descent."""
     N = tab.shape[0]
     oh = idx[:, None] == jnp.arange(N, dtype=idx.dtype)[None, :]
     if tab.dtype == jnp.float32:
@@ -543,9 +543,15 @@ def search_forest(
     matmul on the MXU (``_select_rows_onehot``). Queries parked below
     the level (earlier leaf / padding) keep their carried block, which
     is bitwise what their own row's panel 0 holds (``_pack_tree``
-    strided copies), so results are BITWISE IDENTICAL to ``ladder=0``
-    (pinned by tests). Only root descents qualify (``start=None`` and a
-    static ``base == 0``); otherwise ``ladder`` is ignored.
+    strided copies; padding queries' carry is seeded from row 0's
+    panel for the same reason). Leaf ids and payload blocks are
+    therefore BITWISE IDENTICAL to ``ladder=0``; margins agree only to
+    ~ulp (the ladder trace unrolls where the gather path rolls a
+    ``fori_loop``, so XLA fuses the side dot-product differently —
+    noise ~eps x coordinate scale, below the certificate's
+    ``eps_cert`` floor; pinned by tests/test_tree.py). Only root
+    descents qualify (``start=None`` and a static ``base == 0``);
+    otherwise ``ladder`` is ignored.
 
     With ``return_margin=True`` additionally returns ``margins`` (Q,):
     the minimum |signed distance to a split plane| over every real
@@ -576,6 +582,9 @@ def search_forest(
         node0 = jnp.maximum(start, 1)
     if valid is not None:
         node0 = node0 * valid.astype(jnp.int32)
+    # capture staticness BEFORE the asarray below erases it (the ladder
+    # needs a static root offset to slice per-level tables out of `nav`)
+    base_is_static_zero = isinstance(base, int) and base == 0
     base = jnp.asarray(base, jnp.int32)
 
     big = jnp.asarray(jnp.finfo(nav.dtype).max, nav.dtype)
@@ -625,10 +634,16 @@ def search_forest(
                 blk = jnp.where(step[:, None], child, blk)
         return node, blk, margin
 
-    blk0 = jnp.zeros((Q, 8), nav.dtype)
+    use_ladder = ladder > 0 and known_levels and base_is_static_zero
+    if use_ladder:
+        # parked/invalid queries (node 0) keep their carried block where
+        # the gather path re-fetches row 0's panel 0 — seed the carry
+        # with that panel so a full ladder stays bitwise-equal for them
+        blk0 = jnp.broadcast_to(nav[0, 0:8], (Q, 8))
+    else:
+        blk0 = jnp.zeros((Q, 8), nav.dtype)
     margin0 = jnp.full((Q,), big, nav.dtype)
     carry = (node0, blk0, margin0)
-    use_ladder = ladder > 0 and known_levels and isinstance(base, int) and base == 0
     if use_ladder:
         M = nav.shape[-2]
         for g in range(n_gathers):

@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""Decompose the exact GN round's ~670 us/(kf,round) on the chip (r3).
+"""Decompose the exact GN round's ~670 us/(kf,round) on the chip.
 
-perf_probe r3 measured that replacing up to 5 of the 6 descent gathers
-with compute (select-ladder) does NOT move the 15-round step time at
-all — the gathers are not the critical path. This probe times the
-round's components in one process:
+CAUTION: every r3 ladder row from this probe was VACUOUS — the ladder
+guard was dead code until r4 (`use_ladder` tested `isinstance(base,
+int)` after `base` had become a jnp array), so "lad*" variants measured
+the gather path against itself. r4 fixed the guard (ops/tree.py) and
+added a non-vacuity test pinning the lowered HLO; the rows below are
+real as of r4. This probe times the round's components in one process:
 
   full      — the production round (descent + terms) per kf scan
   desc      — descent only (ids consumed, no terms math)
@@ -121,8 +123,12 @@ def main():
     nav1 = kf_nav[0]
     variants = [
         ("full", mk_step(mk_full(0)), kf_nav),
+        ("full-lad1", mk_step(mk_full(1)), kf_nav),
+        ("full-lad2", mk_step(mk_full(2)), kf_nav),
         ("full-lad3", mk_step(mk_full(3)), kf_nav),
+        ("full-lad4", mk_step(mk_full(4)), kf_nav),
         ("desc", mk_step(mk_desc(0)), kf_nav),
+        ("desc-lad3", mk_step(mk_desc(3)), kf_nav),
         ("desc-lad5", mk_step(mk_desc(5)), kf_nav),
         ("desc-noslice", mk_step(mk_desc(0, noslice=True)), nav1),
         ("desc-noslice-lad5", mk_step(mk_desc(5, noslice=True)), nav1),

@@ -443,3 +443,25 @@ def test_compute_device_matches_compute(rng):
         pb.compute_device(i * 0.1, *pb.stage(s))
     np.testing.assert_array_equal(pa.current_pose(), pb.current_pose())
     assert pa.current_id() == pb.current_id()
+
+
+def test_point_capacity_truncation_is_surfaced(rng):
+    """Input points beyond the static ``n_points`` capacity are dropped
+    (unavoidable under static shapes) but must be REPORTED — the
+    reference ingests every point (``pipeline.cpp:125-144``), so a
+    silent truncation would corrupt parity invisibly (VERDICT r3 #5).
+    ``leaves_dropped`` got this treatment in r2; ``points_dropped`` is
+    its input-side twin."""
+    scans, _ = synthetic_room_scans(rng, n_scans=3, step=0.05)
+    p = _make_pipeline(n_points=len(scans[0]) - 100)
+    p.compute(0.0, scans[0])
+    assert p.points_dropped() == 100
+    # a scan within capacity resets the counter
+    p.compute(0.1, scans[1][: p.cfg.n_points])
+    assert p.points_dropped() == 0
+    # batch path accumulates across the chunk
+    pb = _make_pipeline(n_points=len(scans[0]) - 100)
+    pb.compute_batch([0.0, 0.1], [scans[0], scans[1]])
+    assert pb.points_dropped() == 100 + max(
+        0, len(scans[1]) - pb.cfg.n_points
+    )
