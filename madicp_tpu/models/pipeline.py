@@ -520,11 +520,21 @@ def icp_rounds(
             # ||dR||_F — and merging it as (A+C)(1+r) inflates pure-
             # translation budgets ~(1+r)x for far points (measured r3:
             # every round overflowed). The key mu = margin/(E0 + r)
-            # with threshold max(A/E0, C) is sound
-            # (max(A/E0,C)*(E0+r) >= A + C*r) and near-exact when
-            # A/C ~ E0, which GN's coupled translation/rotation steps
-            # sit near for car-like scenes (E0 ~ scene radius / sqrt 2)
-            E0 = 16.0
+            # with threshold max(A/E0, C) is SOUND FOR ANY E0 > 0
+            # (max(A/E0,C)*(E0+r) >= A + C*r termwise) and near-exact
+            # when A/C ~ E0, which GN's coupled translation/rotation
+            # steps sit near the scene's lever-arm scale — so E0 is
+            # DERIVED per scan as the mean leaf range of the round-0
+            # leaf set (a traced scalar, constant within the scan;
+            # only prefix tightness varies with it, never correctness).
+            # An earlier hardcoded E0=16.0 baked a car-scene radius
+            # into a soundness-adjacent path (VERDICT r3 item 6).
+            r_all = jnp.linalg.norm(leaves_pts, axis=-1)  # (L,)
+            E0 = jnp.maximum(
+                jnp.sum(jnp.where(leaves_valid, r_all, 0.0))
+                / jnp.maximum(nv.astype(dtype), 1.0),
+                jnp.asarray(1e-3, dtype),
+            )
 
             def sort_kf(margin, payload, lps, lv, order):
                 """One keyframe's new certification baseline from its

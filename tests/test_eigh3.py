@@ -1,7 +1,11 @@
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
 from madicp_tpu.ops.eigh3 import eigh3
+
+pytestmark = pytest.mark.smoke  # fast oracle tier (see README)
 
 
 def _check_batch(A, atol_val=1e-9, atol_vec=1e-7):

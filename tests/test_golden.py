@@ -11,8 +11,13 @@ from pathlib import Path
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from madicp_tpu.models.pipeline import Pipeline
+
+# the golden drive exercises the full default pipeline config, so the
+# smoke tier gets end-to-end coverage from it (see README)
+pytestmark = pytest.mark.smoke
 
 GOLDEN = Path(__file__).parent / "golden_four_walls.npz"
 

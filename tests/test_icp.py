@@ -1,3 +1,5 @@
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation
@@ -6,6 +8,8 @@ from madicp_tpu.ops.tree import build_tree, get_leaves
 from madicp_tpu.ops.icp_core import icp_terms, solve_gn, gn_se3_step, neg_logdet
 from madicp_tpu.models.registration import MADicp
 import reference_oracle as oracle
+
+pytestmark = pytest.mark.smoke  # fast oracle tier (see README)
 
 
 B_MAX, B_MIN, B_RATIO, RHO = 0.2, 0.1, 0.02, 0.1

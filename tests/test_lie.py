@@ -1,3 +1,5 @@
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation
@@ -13,6 +15,8 @@ from madicp_tpu.ops.lie import (
     exp_se3_split,
 )
 import reference_oracle as oracle
+
+pytestmark = pytest.mark.smoke  # fast oracle tier (see README)
 
 
 def test_skew(rng):
