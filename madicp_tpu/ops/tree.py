@@ -215,6 +215,17 @@ def _pack_tree(arena: dict, M: int, dtype) -> SearchTree:
     return SearchTree(nav=nav)
 
 
+# Build-time compute-selection thresholds (r4, chip-measured via
+# scripts/aux_probe.py): levels with at most this many nodes replace
+# their N-row random-access op with compute. Gathers go one-hot up to
+# 512 rows (the 13-wide pack is cheap on the MXU; the descent's 56-wide
+# rows stop paying at 512 — see NOTES ladder sweep); scatter-mins turn
+# into per-node masked reductions only while the reduction count stays
+# tiny.
+_BUILD_ONEHOT_MAX = 1024
+_BUILD_REDUCE_MIN_MAX = 32
+
+
 def build_tree(
     points: jnp.ndarray,
     valid: jnp.ndarray,
@@ -338,7 +349,19 @@ def build_tree(
             [mean, evecs.reshape(sz, 9),
              par_leaf.astype(dtype)[:, None]], axis=1
         )  # (sz, 13)
-        ptA = jnp.take(packA, jnp.minimum(idx, sz - 1), axis=0)
+        idx_c = jnp.minimum(idx, sz - 1)
+        # small levels select their rows with COMPUTE instead of issuing
+        # an N-row HBM gather (the descent's select-ladder trick, r4:
+        # ~2-3 ns saved per elided row): broadcast / select tree / exact
+        # one-hot MXU matmul — all bitwise-equal to ``jnp.take``
+        if sz == 1:
+            ptA = jnp.broadcast_to(packA[0], (N, 13))
+        elif sz <= 8:
+            ptA = _select_rows_tree(packA, idx_c)
+        elif sz <= _BUILD_ONEHOT_MAX:
+            ptA = _select_rows_onehot(packA, idx_c)
+        else:
+            ptA = jnp.take(packA, idx_c, axis=0)
         mean_pt = ptA[:, 0:3]
         d2 = points - mean_pt
         # v = E^T d2, written as three fused (N,3) multiply-adds — a
@@ -351,7 +374,20 @@ def build_tree(
         dist = jnp.linalg.norm(d2, axis=-1)
 
         ext = jnp.concatenate([v, -v], axis=1)  # (N, 6)
-        node_ext = jnp.full((sz, 6), big, dtype).at[idx].min(ext, **kw)
+        if sz <= _BUILD_REDUCE_MIN_MAX:
+            # tiny levels: per-node masked min-REDUCTIONS instead of an
+            # N-row scatter-min (~9-12 ns/row) — min is order-free, so
+            # this is bitwise-identical to the scatter
+            node_ext = jnp.stack(
+                [
+                    jnp.min(
+                        jnp.where((idx == j)[:, None], ext, big), axis=0
+                    )
+                    for j in range(sz)
+                ]
+            )
+        else:
+            node_ext = jnp.full((sz, 6), big, dtype).at[idx].min(ext, **kw)
         vmin = node_ext[:, 0:3]
         vmax = -node_ext[:, 3:6]
         extents = jnp.maximum(vmax, 0.0) - jnp.minimum(vmin, 0.0)
@@ -469,15 +505,40 @@ def _select_rows_onehot(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     N = tab.shape[0]
     oh = idx[:, None] == jnp.arange(N, dtype=idx.dtype)[None, :]
     if tab.dtype == jnp.float32:
-        hi = tab.astype(jnp.bfloat16)
-        r1 = tab - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        # TRUNCATION split, not rounding: bf16 is literally the top 16
+        # bits of f32, so masking the mantissa tail yields exactly
+        # bf16-representable, exactly non-overlapping parts (a rounded
+        # split can leave a 9-bit residue that bf16 cannot hold).
+        bits = jax.lax.bitcast_convert_type(tab, jnp.int32)
+        hi_f = jax.lax.bitcast_convert_type(
+            bits & jnp.int32(-65536), jnp.float32
+        )
+        r1 = tab - hi_f
+        r1b = jax.lax.bitcast_convert_type(r1, jnp.int32)
+        mid_f = jax.lax.bitcast_convert_type(
+            r1b & jnp.int32(-65536), jnp.float32
+        )
+        lo_f = r1 - mid_f
+        hi, mid, lo = (
+            hi_f.astype(jnp.bfloat16),
+            mid_f.astype(jnp.bfloat16),
+            lo_f.astype(jnp.bfloat16),
+        )
         ohb = oh.astype(jnp.bfloat16)
-        out = jnp.dot(ohb, hi, preferred_element_type=jnp.float32)
-        out = out + jnp.dot(ohb, mid, preferred_element_type=jnp.float32)
-        out = out + jnp.dot(ohb, lo, preferred_element_type=jnp.float32)
-        return out
+        # the barriers stop XLA from refolding the three dots into
+        # dot(oh, hi+mid+lo) with the sum pre-collapsed to ONE bf16 —
+        # observed on TPU (r4): without them the selection silently
+        # degrades to single-bf16 precision (~0.4% rel)
+        d1 = jax.lax.optimization_barrier(
+            jnp.dot(ohb, hi, preferred_element_type=jnp.float32)
+        )
+        d2 = jax.lax.optimization_barrier(
+            jnp.dot(ohb, mid, preferred_element_type=jnp.float32)
+        )
+        d3 = jax.lax.optimization_barrier(
+            jnp.dot(ohb, lo, preferred_element_type=jnp.float32)
+        )
+        return (d1 + d2) + d3
     return jnp.dot(
         oh.astype(tab.dtype), tab, precision=jax.lax.Precision.HIGHEST
     )
