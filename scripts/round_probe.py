@@ -93,6 +93,24 @@ def main():
 
         return round_fn
 
+    def mk_full_tuple(ladder):
+        """Ring as a TUPLE of 16 separate nav arrays: the per-kf loop is
+        Python-unrolled, so there is no lax.scan xs dynamic-slice copy
+        (~19 ms/loop, desc-noslice r3/r4). r1 measured unrolled STACKED
+        static slices 1.6x slower; separate args may behave differently
+        (no slice op at all — each nav is its own parameter)."""
+
+        def round_fn(X, navs):
+            H = jnp.zeros((6, 6))
+            b = jnp.zeros(6)
+            for nav in navs:
+                t = icp_terms(SearchTree(nav), lp, lv, X, ladder=ladder, **kw)
+                H = H + t.H
+                b = b + t.b
+            return gn_se3_step(X, H, b)
+
+        return round_fn
+
     def mk_terms(payload_all):
         def round_fn(X, nav_all):
             def per_kf(acc, payload):
@@ -121,12 +139,14 @@ def main():
         return step
 
     nav1 = kf_nav[0]
+    nav_tuple = tuple(kf_nav[k] for k in range(K))
     variants = [
         ("full", mk_step(mk_full(0)), kf_nav),
         ("full-lad1", mk_step(mk_full(1)), kf_nav),
         ("full-lad2", mk_step(mk_full(2)), kf_nav),
         ("full-lad3", mk_step(mk_full(3)), kf_nav),
         ("full-lad4", mk_step(mk_full(4)), kf_nav),
+        ("full-tuple-lad3", mk_step(mk_full_tuple(3)), nav_tuple),
         ("desc", mk_step(mk_desc(0)), kf_nav),
         ("desc-lad3", mk_step(mk_desc(3)), kf_nav),
         ("desc-lad5", mk_step(mk_desc(5)), kf_nav),
@@ -135,6 +155,12 @@ def main():
         ("terms", mk_step(mk_terms(payload_all)), kf_nav),
         ("full2", mk_step(mk_full(0)), kf_nav),
     ]
+    import os
+
+    only = os.environ.get("ROUND_PROBE_ONLY", "")
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        variants = [v for v in variants if v[0] in wanted]
     for name, step, arg in variants:
         X = step(X0, arg)
         _ = jax.device_get(X)

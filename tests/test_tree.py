@@ -377,6 +377,57 @@ def test_ladder_descent_matches_gather_descent(rng, four_walls):
                     f"(floor {mg_tol.min():.3e})")
 
 
+def test_build_compute_selection_bitwise(rng, four_walls, monkeypatch):
+    """The build's small-level compute selection (one-hot gathers,
+    masked min-reductions — r4, VERDICT r3 item 3) must be BITWISE
+    identical to the plain gather/scatter build it replaces: thresholds
+    zeroed via monkeypatch select the old path in-process. Chip-side
+    the same identity is pinned by the r4 on-TPU A/B (commit message);
+    here it guards the CPU/f64 oracle path every CI run."""
+    import madicp_tpu.ops.tree as tree_mod
+
+    pts = four_walls
+    q = np.vstack([pts, rng.normal(0, 3.0, (1000, 3))])
+    for dtype in (jnp.float32, jnp.float64):
+        tpts = jnp.asarray(np.asarray(q, float), dtype)
+        tv = jnp.asarray(rng.uniform(size=len(q)) < 0.97)
+        new_tree, new_leaf = jax.jit(
+            lambda p, v: build_tree(p, v, depth=12, b_max=0.2, b_min=0.1)
+        )(tpts, tv)
+        monkeypatch.setattr(tree_mod, "_BUILD_ONEHOT_MAX", 0)
+        monkeypatch.setattr(tree_mod, "_BUILD_REDUCE_MIN_MAX", 0)
+        old_tree, old_leaf = jax.jit(
+            lambda p, v: build_tree(p, v, depth=12, b_max=0.2, b_min=0.1)
+        )(tpts, tv)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(
+            np.asarray(new_tree.nav), np.asarray(old_tree.nav),
+            err_msg=f"{dtype}: compute-selected build diverges")
+        np.testing.assert_array_equal(
+            np.asarray(new_leaf), np.asarray(old_leaf))
+
+
+def test_onehot_select_keeps_split_dots_unfused():
+    """Structural guard for a TPU-only precision hazard the CPU bitwise
+    tests CANNOT catch: XLA-TPU refolds ``dot(oh,hi) + dot(oh,mid) +
+    dot(oh,lo)`` into ``dot(oh, hi+mid+lo)`` with the part-sum collapsed
+    to a single bf16, silently degrading the "exact" one-hot selection
+    to ~0.4% relative error (observed on chip, r4). The fix keeps an
+    ``optimization_barrier`` around each dot; this test pins the lowered
+    program shape — three dots and three barriers — so the barriers
+    cannot be dropped without failing CI on any backend."""
+    from madicp_tpu.ops.tree import _select_rows_onehot
+
+    tab = jnp.asarray(np.linspace(0.1, 7.7, 64 * 13).reshape(64, 13),
+                      jnp.float32)
+    idx = jnp.arange(256, dtype=jnp.int32) % 64
+    txt = jax.jit(_select_rows_onehot).lower(tab, idx).as_text()
+    assert txt.count("stablehlo.dot") >= 3, "3-way split dots missing"
+    assert txt.count("optimization_barrier") >= 3, (
+        "anti-refold barriers missing: on TPU the three split dots "
+        "collapse into one bf16 dot without them")
+
+
 def test_ladder_descent_actually_removes_gathers(four_walls):
     """Non-vacuity guard: the ladder branch must actually be TAKEN.
 
