@@ -677,9 +677,15 @@ def search_forest(
             # certificate must cover them all — including a final node
             # where no step was taken
             consider = active & real & ~leaf
-            margin = jnp.where(
-                consider, jnp.minimum(margin, jnp.abs(sval)), margin
-            )
+            if return_margin:
+                # margin tracking only when asked for: it is a
+                # loop-CARRIED value, so XLA cannot dead-code it out of
+                # the fori body on its own — tracing it away saves real
+                # chain work on margin-free descents (fast mode,
+                # certify=False)
+                margin = jnp.where(
+                    consider, jnp.minimum(margin, jnp.abs(sval)), margin
+                )
             step = consider & has
             node = jnp.where(step, 2 * node + side.astype(jnp.int32), node)
             if s == 0:
