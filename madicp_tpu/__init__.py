@@ -24,4 +24,18 @@ Layout
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU f32 matmuls default to ONE bf16 pass — measured r4: a (L,3)@(3,3)
+# point transform carries up to 0.24 m error at 40 m range (vs 3.7e-6
+# at HIGHEST), i.e. geometry error of the same magnitude as the 0.2 m
+# association gate, and a 15-round pose chain drifts 0.02. Every matmul
+# in this framework is geometry (point/tree transforms, pose
+# compositions, normal-equation reductions), so f32 precision is a
+# correctness requirement, not a tuning choice. The explicitly-bf16
+# one-hot/exactness kernels (ops/tree.py) pass bf16 operands and are
+# unaffected; CPU (always fma-exact) is unaffected — which is exactly
+# why the CPU test suite could never catch this.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from madicp_tpu.ops import constants  # noqa: F401
