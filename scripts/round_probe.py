@@ -129,6 +129,60 @@ def main():
     _, payload0 = associate_packed(kf_nav[0], 0, DEPTH, ml0, lv)
     payload_all = jnp.stack([payload0] * K)
 
+    def mk_terms_mm(payload_all):
+        """Normal equations as ONE stacked (8,L)x(L,8) matmul per kf
+        instead of 27 full-width multiply-reduces: rows = [sqrt(s)J(6),
+        sqrt(s)e, 0]; H = G[0:6,0:6], b = G[0:6,6]. Fewer ops per
+        (kf, round) if the terms cost is op-count-bound.
+        Measured r4: 31.7 vs 33.5 ms — ~5%, dropped."""
+        import jax.numpy as jnp
+
+        def round_fn(X, nav_all):
+            dtype = lp.dtype
+            R = X[:3, :3]
+            t = X[:3, 3]
+            rho = jnp.sqrt(jnp.asarray(0.1, dtype))
+
+            def per_kf(acc, payload):
+                ml = lp @ R.T + t
+                mlx, mly, mlz = ml[:, 0], ml[:, 1], ml[:, 2]
+                mx, my, mz = lp[:, 0], lp[:, 1], lp[:, 2]
+                fx, fy, fz = payload[:, 0], payload[:, 1], payload[:, 2]
+                nx, ny, nz = payload[:, 3], payload[:, 4], payload[:, 5]
+                f_bbox0 = payload[:, 6]
+                f_ok = payload[:, 7] == 3.0
+                dx, dy, dz = mlx - fx, mly - fy, mlz - fz
+                dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                src_ball = 0.2 + 0.02 * jnp.sqrt(mx * mx + my * my + mz * mz)
+                matched = (dist <= src_ball) & lv & f_ok
+                e = dx * nx + dy * ny + dz * nz
+                ux = nx * R[0, 0] + ny * R[1, 0] + nz * R[2, 0]
+                uy = nx * R[0, 1] + ny * R[1, 1] + nz * R[2, 1]
+                uz = nx * R[0, 2] + ny * R[1, 2] + nz * R[2, 2]
+                chi = jnp.abs(e)
+                scale = jnp.where(chi > rho, rho / jnp.maximum(chi, 1e-30), 1.0)
+                w_plan = jnp.clip(1.0 - f_bbox0 / 0.2, 0.0, 1.0)
+                s = scale * w_plan * w_plan * matched.astype(dtype)
+                sq = jnp.sqrt(s)
+                Wm = jnp.stack([
+                    sq * ux, sq * uy, sq * uz,
+                    sq * (my * uz - mz * uy),
+                    sq * (mz * ux - mx * uz),
+                    sq * (mx * uy - my * ux),
+                    sq * e, jnp.zeros_like(e),
+                ])                                  # (8, L)
+                G = jax.lax.dot_general(
+                    Wm, Wm, (((1,), (1,)), ((), ()))
+                )                                   # (8, 8)
+                return (acc[0] + G[0:6, 0:6], acc[1] + G[0:6, 6]), None
+
+            (H, b), _ = jax.lax.scan(
+                per_kf, (jnp.zeros((6, 6)), jnp.zeros(6)), payload_all
+            )
+            return gn_se3_step(X, H, b)
+
+        return round_fn
+
     def mk_step(round_fn):
         @jax.jit
         def step(X, nav_all):
@@ -153,6 +207,7 @@ def main():
         ("desc-noslice", mk_step(mk_desc(0, noslice=True)), nav1),
         ("desc-noslice-lad5", mk_step(mk_desc(5, noslice=True)), nav1),
         ("terms", mk_step(mk_terms(payload_all)), kf_nav),
+        ("terms-mm", mk_step(mk_terms_mm(payload_all)), kf_nav),
         ("full2", mk_step(mk_full(0)), kf_nav),
     ]
     import os
