@@ -36,6 +36,9 @@ import jax as _jax
 # one-hot/exactness kernels (ops/tree.py) pass bf16 operands and are
 # unaffected; CPU (always fma-exact) is unaffected — which is exactly
 # why the CPU test suite could never catch this.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# Respect an embedding application's EXPLICIT choice: only install the
+# default when the knob is still unset (None).
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 from madicp_tpu.ops import constants  # noqa: F401

@@ -529,11 +529,17 @@ def icp_rounds(
             # only prefix tightness varies with it, never correctness).
             # An earlier hardcoded E0=16.0 baked a car-scene radius
             # into a soundness-adjacent path (VERDICT r3 item 6).
+            # FLOOR = 1.0, not epsilon: the skip guard's fp term
+            # eps64*(1+|t|)*(E0+r) must dominate eps_cert =
+            # 64*eps*(1+|t|+r), i.e. (1+|t|)(E0+r) >= 1+|t|+r — which
+            # holds unconditionally iff E0 >= 1 (sub-metre E0 would
+            # shrink the guard band below the fp-safety floor on
+            # close-range scenes).
             r_all = jnp.linalg.norm(leaves_pts, axis=-1)  # (L,)
             E0 = jnp.maximum(
                 jnp.sum(jnp.where(leaves_valid, r_all, 0.0))
                 / jnp.maximum(nv.astype(dtype), 1.0),
-                jnp.asarray(1e-3, dtype),
+                jnp.asarray(1.0, dtype),
             )
 
             def sort_kf(margin, payload, lps, lv, order):
@@ -1346,11 +1352,14 @@ class Pipeline:
         )
 
     def points_dropped(self) -> int:
-        """Input points of the last scan truncated by the static
-        ``n_points`` capacity (the reference ingests every point,
-        ``pipeline.cpp:125-144``); nonzero means ``n_points`` is too
-        small for this sensor and the scan entered the pipeline
-        incomplete — raise ``--n-points``."""
+        """Input points truncated by the static ``n_points`` capacity
+        (the reference ingests every point, ``pipeline.cpp:125-144``);
+        nonzero means ``n_points`` is too small for this sensor and
+        scans entered the pipeline incomplete — raise ``--n-points``.
+        Scope: the last :meth:`compute`/:meth:`compute_device` scan, or
+        the SUM over the whole chunk after :meth:`compute_batch`
+        (unlike the other accessors, which report the chunk's final
+        scan)."""
         return getattr(self, "_n_points_dropped", 0)
 
     def current_leaves(self) -> np.ndarray:

@@ -353,15 +353,17 @@ def build_tree(
         # small levels select their rows with COMPUTE instead of issuing
         # an N-row HBM gather (the descent's select-ladder trick, r4:
         # ~2-3 ns saved per elided row): broadcast / select tree / exact
-        # one-hot MXU matmul — all bitwise-equal to ``jnp.take``
-        if sz == 1:
+        # one-hot MXU matmul — all bitwise-equal to ``jnp.take``. ALL
+        # variants gate on the one threshold so zeroing it yields the
+        # pure gather build (the A/B baseline in tests/test_tree.py)
+        if sz > _BUILD_ONEHOT_MAX:
+            ptA = jnp.take(packA, idx_c, axis=0)
+        elif sz == 1:
             ptA = jnp.broadcast_to(packA[0], (N, 13))
         elif sz <= 8:
             ptA = _select_rows_tree(packA, idx_c)
-        elif sz <= _BUILD_ONEHOT_MAX:
-            ptA = _select_rows_onehot(packA, idx_c)
         else:
-            ptA = jnp.take(packA, idx_c, axis=0)
+            ptA = _select_rows_onehot(packA, idx_c)
         mean_pt = ptA[:, 0:3]
         d2 = points - mean_pt
         # v = E^T d2, written as three fused (N,3) multiply-adds — a
