@@ -247,6 +247,32 @@ def test_certify_prefix_matches_plain_exact(rng):
     assert min(a.descents() for a in prefixes) < full // 2
 
 
+def test_certify_prefix_matches_plain_exact_submetre_scene(rng):
+    """Identity on a SUB-METRE scene (mean leaf range < 1 m): the
+    derived radius scale E0 must floor at 1.0 — the skip guard's fp
+    term ``eps64*(1+|t|)*(E0+r)`` dominates the ``eps_cert`` safety
+    floor unconditionally only for E0 >= 1 (r4 code review), so a
+    close-range scene is the case a too-small floor would break."""
+    room = synthetic_room_scans(rng, n_scans=1, n_points=1200)[0][0]
+    room = room * 0.15  # shrink the room: ranges ~0.2-0.5 m
+    scans = [room + rng.normal(0, 0.0005, room.shape) for _ in range(4)]
+    for i in range(4):
+        scans[i] = scans[i] - np.array([0.01 * i, 0.0, 0.0])
+    kw = dict(assoc_mode="exact", num_keyframes=2, b_max=0.03,
+              b_min=0.015, b_ratio=0.02)
+    b = _make_pipeline(certify=False, **kw)
+    a = _make_pipeline(certify=True, certify_prefix=512, **kw)
+    for i, scan in enumerate(scans):
+        b.compute(0.1 * i, scan)
+        a.compute(0.1 * i, scan)
+        np.testing.assert_allclose(
+            a.current_pose(), b.current_pose(), atol=1e-9,
+            err_msg=f"scan {i}: prefix certified diverged on the "
+                    f"sub-metre scene",
+        )
+        assert a.inlier_ratio() == b.inlier_ratio(), f"scan {i}"
+
+
 def test_certify_prefix_matches_plain_exact_kitti_scale(rng):
     """Same identity on a scene with a VERY different radius (~60 m
     KITTI-like streetscape vs the ~2 m room above): the certificate's
