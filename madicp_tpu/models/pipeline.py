@@ -1070,6 +1070,34 @@ _pipeline_chunk_donated = jax.jit(
 )
 
 
+def _warn_if_matmul_precision_degraded() -> None:
+    """Warn when the global matmul precision has been downgraded AFTER
+    ``import madicp_tpu`` installed the ``highest`` default.
+
+    On TPU, f32 matmuls at the default/bf16 tier run as ONE bf16 pass,
+    which carries gate-magnitude geometry error (up to 0.24 m point-
+    transform error at 40 m range, r4 measurement — NOTES.md "TPU matmul
+    precision") and silently corrupts the certificate's motion budgets.
+    The import-time override only fires when the knob is unset, so an
+    embedding application that sets a bf16 tier after importing would
+    otherwise reintroduce the bug with nothing detecting it (ADVICE r4).
+    """
+    prec = jax.config.jax_default_matmul_precision
+    if prec in ("highest", "float32", "F32_F32_F32"):
+        return
+    import warnings
+
+    warnings.warn(
+        "madicp_tpu: jax_default_matmul_precision is "
+        f"{prec!r}; on TPU this lowers f32 matmuls to bf16 passes and "
+        "corrupts point-transform geometry by up to the association-gate "
+        "magnitude (~0.24 m at 40 m range). Set it to 'highest' (the "
+        "madicp_tpu import-time default) for correct odometry.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 class Pipeline:
     """Host-facing odometry engine (API parity with the reference
     ``pypeline.Pipeline``, ``pypeline.cpp:52-75``)."""
@@ -1103,6 +1131,7 @@ class Pipeline:
         assoc_ladder: int = 3,
     ):
         del num_threads
+        _warn_if_matmul_precision_degraded()
         self.cfg = PipelineConfig(
             sensor_hz=float(sensor_hz),
             deskew=bool(deskew),

@@ -217,11 +217,12 @@ def _pack_tree(arena: dict, M: int, dtype) -> SearchTree:
 
 # Build-time compute-selection thresholds (r4, chip-measured via
 # scripts/aux_probe.py): levels with at most this many nodes replace
-# their N-row random-access op with compute. Gathers go one-hot up to
-# 512 rows (the 13-wide pack is cheap on the MXU; the descent's 56-wide
-# rows stop paying at 512 — see NOTES ladder sweep); scatter-mins turn
-# into per-node masked reductions only while the reduction count stays
-# tiny.
+# their N-row random-access op with compute. The build's stats gathers
+# go one-hot up to 1024 rows — its 13-wide pack is cheap on the MXU,
+# unlike the descent's 56-wide rows, which stop paying at 512 (NOTES
+# ladder sweep; hence the separate, smaller descent ladder default);
+# scatter-mins turn into per-node masked reductions only while the
+# reduction count stays tiny.
 _BUILD_ONEHOT_MAX = 1024
 _BUILD_REDUCE_MIN_MAX = 32
 

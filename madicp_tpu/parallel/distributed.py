@@ -49,6 +49,31 @@ def initialize(
     return topology()
 
 
+def barrier(name: str, *, timeout_seconds: int = 1800) -> None:
+    """Block until every process reaches this barrier (single-process: no-op).
+
+    Rides the coordination service's key-value store, NOT an XLA
+    collective — crucially different from
+    ``multihost_utils.sync_global_devices``: the first *collective*
+    dispatched on the CPU backend initialises a Gloo context with a hard
+    ~30 s connect deadline, so using a collective as the barrier just
+    moves the deadline problem to the barrier itself. This barrier has
+    the explicit timeout given here instead.
+
+    Use it to line processes up before the first collective dispatch
+    when their progress may be minutes apart (e.g. cold-cache XLA
+    compiles on a loaded host); once aligned, the 30 s Gloo window is
+    trivially met. Reference analog: the implicit OpenMP barrier after
+    the keyframe loop, ``pipeline.cpp:185``.
+    """
+    from jax._src import distributed as _dist
+
+    client = getattr(_dist.global_state, "client", None)
+    if client is None or jax.process_count() == 1:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=timeout_seconds * 1000)
+
+
 def topology() -> dict:
     """Summarise the process/device topology for logging."""
     return {

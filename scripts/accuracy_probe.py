@@ -40,7 +40,12 @@ def world(rng):
     return np.concatenate(pts)
 
 
-def main() -> int:
+def run(verbose: bool = True) -> dict:
+    """Drive the synthetic world and return the measured motion errors.
+
+    Importable by scripts/chip_checks.py (the automated chip tier);
+    the CLI below keeps the original pass/fail exit-code behavior.
+    """
     from madicp_tpu.models.pipeline import Pipeline
 
     rng = np.random.default_rng(7)
@@ -57,12 +62,23 @@ def main() -> int:
         pipe.compute(0.1 * k, p[(r > 1.0) & (r < 80.0)])
         x = float(pipe.current_pose()[0, 3])
         errs.append(abs(x - STEP * k))
-        print(f"scan {k:2d}: x={x:8.4f}  truth={STEP * k:6.2f}  "
-              f"err={errs[-1]*1e3:7.2f} mm  "
-              f"inliers={pipe.inlier_ratio():.2f}", flush=True)
+        if verbose:
+            print(f"scan {k:2d}: x={x:8.4f}  truth={STEP * k:6.2f}  "
+                  f"err={errs[-1]*1e3:7.2f} mm  "
+                  f"inliers={pipe.inlier_ratio():.2f}", flush=True)
     worst = max(errs[1:])  # scan 0 is the identity bootstrap
-    print(f"max per-scan error {worst*1e3:.2f} mm (bound {TOL*1e3:.0f})")
-    if worst > TOL:
+    if verbose:
+        print(f"max per-scan error {worst*1e3:.2f} mm (bound {TOL*1e3:.0f})")
+    return {
+        "max_err_mm": round(worst * 1e3, 3),
+        "bound_mm": TOL * 1e3,
+        "pass": bool(worst <= TOL),
+    }
+
+
+def main() -> int:
+    result = run()
+    if not result["pass"]:
         print("FAIL: motion recovery outside bound — check matmul "
               "precision (NOTES r4) and association health")
         return 1
