@@ -225,6 +225,116 @@ def _pack_tree(arena: dict, M: int, dtype) -> SearchTree:
 # reduction count stays tiny.
 _BUILD_ONEHOT_MAX = 1024
 _BUILD_REDUCE_MIN_MAX = 32
+# Levels with at most this many nodes MAY compute their moment
+# segment-sum with the fused Pallas one-hot-MXU kernel instead of
+# materialising the (N, 10) moment columns and scatter-adding them.
+# SHIPS DISABLED (0) — measured r5, chip (scripts/pallas_scatter_probe
+# .py + the in-build A/B recorded in NOTES): STANDALONE the kernel wins
+# (0.74x at 64 nodes, 0.81x at 256, 0.97x at 1024 vs the mom+scatter
+# pair — the platform floor is ~0.6-1.6 ns per logical element an op
+# touches, and the kernel reads (N, 4) instead of (N, 11)), but
+# IN-BUILD it loses 2.3x (37 -> 86 ms/build): every pallas_call pins
+# linear {1,0} operand layouts, so XLA inserts relayout copies of the
+# tiled (N, 3) intermediate at each of the 11 call boundaries
+# (~4.5 ms/call — visible as operand_layout_constraints in the
+# compiler diagnostics). Same toolchain-wall class as the r4 Mosaic
+# dynamic_gather limit; revisit when pallas accepts tiled layouts.
+# Also probed r5: in-kernel jnp scatter-add is an unimplemented Mosaic
+# lowering, and a serial dynamic-store RMW loop runs at 165 ns/row —
+# the MXU one-hot is the only viable Pallas scatter direction.
+# f32 + TPU only; env knob for re-measurement.
+_BUILD_PALLAS_SEGSUM_MAX = int(
+    __import__("os").environ.get("MADICP_PALLAS_SEGSUM", "0")
+)
+
+
+def _segsum_moments_pallas(
+    d: jnp.ndarray, idx: jnp.ndarray, sz: int, *, interpret: bool = False
+) -> jnp.ndarray:
+    """Per-level moment table via a fused Pallas kernel: (N, 3) shifted
+    deltas + (N,) node ids -> (sz, 10) sums of [d, outer6(d), 1].
+
+    The moment columns never exist in HBM: each (Qb, 3) block is
+    expanded to its 10 columns in VMEM and contracted against an
+    in-VMEM one-hot on the MXU. Exactness: the one-hot makes every
+    product a plain ``1.0 * x``, and the moments are truncation-split
+    into three non-overlapping bf16 parts (the ``_select_rows_onehot``
+    trick) with f32 accumulation — the result is a pure f32-accumulation
+    segment sum, the same accuracy class as the scatter-add it replaces
+    (sum ORDER differs, so it is NOT bitwise vs the scatter; CPU keeps
+    the scatter path and its goldens). Rows with ``idx >= sz`` match no
+    one-hot column and drop, like ``mode="drop"``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = d.shape[0]
+    Mk = max(sz, 8)  # degenerate tiny tables pad up; cols sz..Mk unused
+    # block size bounded so the in-VMEM one-hot (Qb, Mk) bf16 tile plus
+    # double-buffered inputs stay under the ~16 MB VMEM budget
+    Qb = min(2048, N, max(256, (1 << 21) // Mk))
+
+    def kernel(idx_ref, d_ref, out_ref):
+        nb = pl.program_id(0)
+
+        @pl.when(nb == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        dd = d_ref[:]  # (Qb, 3)
+        x, y, z = dd[:, 0:1], dd[:, 1:2], dd[:, 2:3]
+        mom = jnp.concatenate(
+            [dd, x * x, x * y, x * z, y * y, y * z, z * z,
+             jnp.ones_like(x), jnp.zeros((Qb, 6), jnp.float32)],
+            axis=1,
+        )  # (Qb, 16)
+
+        ids = idx_ref[0, :]  # (Qb,)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Qb, Mk), 1)
+        oh = (ids[:, None] == cols).astype(jnp.bfloat16)
+
+        bits = jax.lax.bitcast_convert_type(mom, jnp.int32)
+        hi = jax.lax.bitcast_convert_type(
+            bits & jnp.int32(-65536), jnp.float32
+        )
+        r1 = mom - hi
+        r1b = jax.lax.bitcast_convert_type(r1, jnp.int32)
+        mid = jax.lax.bitcast_convert_type(
+            r1b & jnp.int32(-65536), jnp.float32
+        )
+        lo = r1 - mid
+        acc = out_ref[:]
+        for part in (hi, mid, lo):
+            # precision pinned to DEFAULT: the package-global
+            # jax_default_matmul_precision=highest otherwise attaches an
+            # fp32 contract precision to these bf16 operands, which
+            # Mosaic rejects ("Bad lhs type"). DEFAULT is exact here —
+            # every one-hot product is 1.0 * bf16-part, accumulated f32.
+            acc = acc + jax.lax.dot_general(
+                oh, part.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+        out_ref[:] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Mk, 16), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(N // Qb,),
+            in_specs=[
+                pl.BlockSpec((1, Qb), lambda nb: (0, nb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Qb, 3), lambda nb: (nb, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((Mk, 16), lambda nb: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(idx[None, :], d)
+    return out[:sz, :10]
 
 
 def build_tree(
@@ -234,6 +344,7 @@ def build_tree(
     depth: int,
     b_max: float,
     b_min: float,
+    pallas_segsum: Optional[int] = None,
 ) -> tuple[SearchTree, jnp.ndarray]:
     """Build a MAD-tree over a padded point cloud.
 
@@ -256,6 +367,10 @@ def build_tree(
                 at this depth become (oversized) leaves.
         b_max:  leaf criterion on the largest oriented extent.
         b_min:  plane-predecessor criterion on the smallest oriented extent.
+        pallas_segsum: level-size threshold for the fused Pallas moment
+                kernel (None -> ``_BUILD_PALLAS_SEGSUM_MAX``; 0 forces
+                the scatter path everywhere — the A/B baseline). Only
+                consulted on the TPU backend with f32 points.
 
     Returns:
         (tree, point_leaf): the packed tree and, per input point (in the
@@ -297,14 +412,31 @@ def build_tree(
         live = (~frozen) & valid
         idx = jnp.where(live, node - lo, jnp.int32(sz))  # local node index
 
-        # ---- moments: one scatter-add per point, shifted by parent mean
+        # ---- moments: one segment-sum per point, shifted by parent mean
         # for f32 stability (utils.h:54-73 computes exact moments in f64;
         # the parent-mean shift keeps the f32 covariance accurate at depth)
         d = points - prev_mean_pt
-        mom = jnp.concatenate(
-            [d, _outer6(d), jnp.ones((N, 1), dtype)], axis=1
-        )  # (N, 10)
-        node_mom = jnp.zeros((sz, 10), dtype).at[idx].add(mom, **kw)
+        seg_max = (
+            _BUILD_PALLAS_SEGSUM_MAX if pallas_segsum is None
+            else pallas_segsum
+        )
+        if (
+            sz <= seg_max
+            and dtype == jnp.float32
+            and N % min(2048, N) == 0
+            and jax.default_backend() == "tpu"
+        ):
+            # fused Pallas kernel: moment columns built in VMEM, one-hot
+            # MXU contraction — see _segsum_moments_pallas. f32-
+            # accumulation-exact but NOT bitwise vs the scatter (sum
+            # order); CPU keeps the scatter, so this is a TPU-only
+            # divergence within f32 reassociation noise.
+            node_mom = _segsum_moments_pallas(d, idx, sz)
+        else:
+            mom = jnp.concatenate(
+                [d, _outer6(d), jnp.ones((N, 1), dtype)], axis=1
+            )  # (N, 10)
+            node_mom = jnp.zeros((sz, 10), dtype).at[idx].add(mom, **kw)
 
         # ---- node math on the compact (sz, .) level arrays ----
         par = prev_pack if level == 0 else jnp.repeat(prev_pack, 2, axis=0)

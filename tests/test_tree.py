@@ -466,3 +466,45 @@ def test_ladder_descent_actually_removes_gathers(four_walls):
     t4 = lowered(4)
     assert t4.count("stablehlo.gather") == 0, (
         "full ladder must issue no gather ops")
+
+
+def test_pallas_segsum_moments_matches_scatter():
+    """The (disabled-by-default) Pallas moment segment-sum must stay a
+    correct drop-in for the scatter-add: same sums to f32-reassociation
+    tolerance (sum ORDER differs by design), padding rows dropped.
+    Runs the kernel in interpreter mode so the pin holds on the CPU
+    suite; the chip-side numeric check lives in
+    scripts/pallas_scatter_probe.py (r5)."""
+    from madicp_tpu.ops.tree import _segsum_moments_pallas
+
+    rng = np.random.default_rng(5)
+    N, sz = 4096, 64
+    d = rng.normal(0, 2.0, (N, 3)).astype(np.float32)
+    idx = rng.integers(0, sz, N).astype(np.int32)
+    idx[rng.random(N) < 0.1] = sz  # dropped rows
+
+    got = np.asarray(
+        _segsum_moments_pallas(
+            jnp.asarray(d), jnp.asarray(idx), sz, interpret=True
+        )
+    )
+
+    dd = d.astype(np.float64)
+    mom = np.concatenate(
+        [dd,
+         dd[:, 0:1] * dd[:, 0:1], dd[:, 0:1] * dd[:, 1:2],
+         dd[:, 0:1] * dd[:, 2:3], dd[:, 1:2] * dd[:, 1:2],
+         dd[:, 1:2] * dd[:, 2:3], dd[:, 2:3] * dd[:, 2:3],
+         np.ones((N, 1))], axis=1,
+    )
+    want = np.zeros((sz, 10))
+    np.add.at(want, idx[idx < sz], mom[idx < sz])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=5e-3)
+
+    # the shipped default stays OFF until the pallas layout wall falls
+    # (NOTES r5: in-build relayout copies at the call boundary lose 2.3x)
+    from madicp_tpu.ops.tree import _BUILD_PALLAS_SEGSUM_MAX
+
+    import os
+    if "MADICP_PALLAS_SEGSUM" not in os.environ:
+        assert _BUILD_PALLAS_SEGSUM_MAX == 0
