@@ -57,12 +57,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(skip provably-unchanged descents; result-"
                         "identical, several-fold faster)")
     p.add_argument("--certify-compact", type=int, default=0,
-                   help="certified exact mode: compact each keyframe's "
+                   help="EXPERIMENTAL, measured SLOWER than plain exact "
+                        "on TPU (faster only on the CPU backend): "
+                        "certified exact mode, compact each keyframe's "
                         "uncertified entries into a per-keyframe static "
                         "buffer of this size and descend only those "
                         "(0 = off; see PipelineConfig.certify_compact)")
     p.add_argument("--certify-prefix", type=int, default=0,
-                   help="certified exact mode: per-round uncertified-"
+                   help="EXPERIMENTAL, measured SLOWER than plain exact "
+                        "on TPU (its sorted prefix overflows into the "
+                        "full-sweep fallback at flagship scale): "
+                        "certified exact mode, per-round uncertified-"
                         "PREFIX buffer size under the global margin-"
                         "sorted order (0 = off; see "
                         "PipelineConfig.certify_prefix)")

