@@ -58,6 +58,7 @@ Algorithmic contracts reproduced from the reference (see SURVEY.md §2.1):
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -243,9 +244,36 @@ _BUILD_REDUCE_MIN_MAX = 32
 # lowering, and a serial dynamic-store RMW loop runs at 165 ns/row —
 # the MXU one-hot is the only viable Pallas scatter direction.
 # f32 + TPU only; env knob for re-measurement.
-_BUILD_PALLAS_SEGSUM_MAX = int(
-    __import__("os").environ.get("MADICP_PALLAS_SEGSUM", "0")
-)
+_BUILD_PALLAS_SEGSUM_MAX = int(os.environ.get("MADICP_PALLAS_SEGSUM", "0"))
+
+
+def _segsum_qb(N: int, sz: int) -> int:
+    """Block size of the Pallas segment-sum kernel — shared by the
+    kernel and its enablement guard (the guard must test divisibility
+    against the SAME Qb the kernel will use, or the grid silently
+    drops the tail rows)."""
+    Mk = max(sz, 8)
+    # bounded so the in-VMEM one-hot (Qb, Mk) bf16 tile plus double-
+    # buffered inputs stay under the ~16 MB VMEM budget
+    return min(2048, N, max(256, (1 << 21) // Mk))
+
+
+def _bf16x3_split(x: jnp.ndarray):
+    """TRUNCATION-split an f32 array into three exactly-representable,
+    non-overlapping bf16 parts (``x == hi + mid + lo`` bitwise): bf16
+    is literally the top 16 bits of f32, so masking the mantissa tail
+    yields exact parts (a ROUNDED split can leave a 9-bit residue bf16
+    cannot hold). The load-bearing trick behind both the exact one-hot
+    row selection (`_select_rows_onehot`) and the Pallas segment-sum
+    (`_segsum_moments_pallas`): every one-hot product is then an exact
+    ``1.0 * part`` with f32 accumulation."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
+    r1 = x - hi
+    r1b = jax.lax.bitcast_convert_type(r1, jnp.int32)
+    mid = jax.lax.bitcast_convert_type(r1b & jnp.int32(-65536), jnp.float32)
+    lo = r1 - mid
+    return hi, mid, lo
 
 
 def _segsum_moments_pallas(
@@ -270,9 +298,7 @@ def _segsum_moments_pallas(
 
     N = d.shape[0]
     Mk = max(sz, 8)  # degenerate tiny tables pad up; cols sz..Mk unused
-    # block size bounded so the in-VMEM one-hot (Qb, Mk) bf16 tile plus
-    # double-buffered inputs stay under the ~16 MB VMEM budget
-    Qb = min(2048, N, max(256, (1 << 21) // Mk))
+    Qb = _segsum_qb(N, sz)
 
     def kernel(idx_ref, d_ref, out_ref):
         nb = pl.program_id(0)
@@ -293,18 +319,8 @@ def _segsum_moments_pallas(
         cols = jax.lax.broadcasted_iota(jnp.int32, (Qb, Mk), 1)
         oh = (ids[:, None] == cols).astype(jnp.bfloat16)
 
-        bits = jax.lax.bitcast_convert_type(mom, jnp.int32)
-        hi = jax.lax.bitcast_convert_type(
-            bits & jnp.int32(-65536), jnp.float32
-        )
-        r1 = mom - hi
-        r1b = jax.lax.bitcast_convert_type(r1, jnp.int32)
-        mid = jax.lax.bitcast_convert_type(
-            r1b & jnp.int32(-65536), jnp.float32
-        )
-        lo = r1 - mid
         acc = out_ref[:]
-        for part in (hi, mid, lo):
+        for part in _bf16x3_split(mom):
             # precision pinned to DEFAULT: the package-global
             # jax_default_matmul_precision=highest otherwise attaches an
             # fp32 contract precision to these bf16 operands, which
@@ -423,7 +439,7 @@ def build_tree(
         if (
             sz <= seg_max
             and dtype == jnp.float32
-            and N % min(2048, N) == 0
+            and N % _segsum_qb(N, sz) == 0  # grid drops tail rows else
             and jax.default_backend() == "tpu"
         ):
             # fused Pallas kernel: moment columns built in VMEM, one-hot
@@ -640,20 +656,7 @@ def _select_rows_onehot(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     N = tab.shape[0]
     oh = idx[:, None] == jnp.arange(N, dtype=idx.dtype)[None, :]
     if tab.dtype == jnp.float32:
-        # TRUNCATION split, not rounding: bf16 is literally the top 16
-        # bits of f32, so masking the mantissa tail yields exactly
-        # bf16-representable, exactly non-overlapping parts (a rounded
-        # split can leave a 9-bit residue that bf16 cannot hold).
-        bits = jax.lax.bitcast_convert_type(tab, jnp.int32)
-        hi_f = jax.lax.bitcast_convert_type(
-            bits & jnp.int32(-65536), jnp.float32
-        )
-        r1 = tab - hi_f
-        r1b = jax.lax.bitcast_convert_type(r1, jnp.int32)
-        mid_f = jax.lax.bitcast_convert_type(
-            r1b & jnp.int32(-65536), jnp.float32
-        )
-        lo_f = r1 - mid_f
+        hi_f, mid_f, lo_f = _bf16x3_split(tab)
         hi, mid, lo = (
             hi_f.astype(jnp.bfloat16),
             mid_f.astype(jnp.bfloat16),

@@ -216,18 +216,22 @@ def check_realtime_20hz() -> dict:
 def check_bench() -> dict:
     """Abbreviated flagship-config schedule matrix; the full matrix is
     bench.py's job (run by the driver every round)."""
-    os.environ.setdefault("BENCH_SCHEDULES", "certified,fast")
-    os.environ.setdefault("BENCH_STEPS", "6")
-    os.environ.setdefault("BENCH_WINDOWS", "2")
+    # pinned, NOT read from BENCH_SCHEDULES: a leftover env knob from a
+    # prior bench run would silently re-key the regression floors below
+    schedules = ("certified", "fast")
+    # sanity floors per schedule: catastrophic perf regressions fail
+    # the tier (r4/r5 floors: certified ~7.3, fast ~15.5 scans/s;
+    # tunnel epochs vary ~1.6x, hence the wide margins)
+    floors = {"certified": 4.0, "fast": 8.0}
     import jax
 
     from bench import BenchSetup
 
     setup = BenchSetup()
-    n_steps = int(os.environ["BENCH_STEPS"])
-    n_windows = int(os.environ["BENCH_WINDOWS"])
+    n_steps = int(os.environ.get("BENCH_STEPS", "6"))
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "2"))
     out = {}
-    for spec in os.environ["BENCH_SCHEDULES"].split(","):
+    for spec in schedules:
         pipe = setup.make_pipe(spec)
         setup.prime(pipe)
         total = 1 + 2 + n_windows * n_steps
@@ -248,11 +252,9 @@ def check_bench() -> dict:
             "descents": pipe.descents(),
         }
         del pipe, staged
-    # sanity floor: catastrophic perf regressions fail the tier (r4
-    # floors: certified ~7.3, fast ~15.7; tunnel epochs vary ~1.6x)
     ok = all(
-        v["scans_per_sec"] >= floor
-        for v, floor in zip(out.values(), (4.0, 8.0))
+        out[name]["scans_per_sec"] >= floor
+        for name, floor in floors.items()
     )
     return {"schedules": out, "abbreviated": True, "pass": ok}
 
@@ -284,6 +286,15 @@ def main() -> int:
     platform = jax.devices()[0].platform
     results, t_all = {}, time.perf_counter()
     only = set(args.only.split(",")) if args.only else None
+    if only is not None:
+        known = {name for name, _ in CHECKS}
+        unknown = only - known
+        if unknown:
+            # a typo'd filter must not produce a false-green empty
+            # artifact (ok = all(<empty>) = True)
+            raise SystemExit(
+                f"unknown check(s) {sorted(unknown)}; known: {sorted(known)}"
+            )
     for name, fn in CHECKS:
         if name == "bench" and args.no_bench:
             continue
