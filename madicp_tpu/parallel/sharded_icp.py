@@ -91,7 +91,9 @@ def icp_round_sharded(
     )(kf_tree, kf_valid, leaves_pts, leaves_valid, X)
 
 
-def make_sharded_pipeline_step(cfg: PipelineConfig, mesh: Mesh):
+def make_sharded_pipeline_step(
+    cfg: PipelineConfig, mesh: Mesh, shard_points: bool = False
+):
     """Jit the full pipeline step with the keyframe map sharded over ``kf``.
 
     The whole ICP round loop inside the step runs under one ``shard_map``
@@ -100,8 +102,28 @@ def make_sharded_pipeline_step(cfg: PipelineConfig, mesh: Mesh):
     schedule, exact or fast — against ONLY its local keyframe shard, and
     a 6x6+6 psum per GN round crosses ICI. (Leaving the sequential
     keyframe scan to GSPMD would instead all-gather the ~29 MB node
-    tables every round.) Everything else in the step — tree build,
-    leaf extraction, promotion — is replicated work.
+    tables every round.) By default everything else in the step — tree
+    build, leaf extraction, promotion — is replicated work.
+
+    ``shard_points=True`` additionally shards the INPUT CLOUD's point
+    axis over ``kf``, so the per-scan tree build — the dominant
+    replicated aux item and therefore the kf-axis Amdahl ceiling
+    (NOTES cost model: step ≈ 122/d + 15 ms) — becomes points-parallel
+    under GSPMD: each device scatter-adds its N/d points' moments and
+    the small per-level node tables are all-reduced (verified on the
+    virtual 8-device mesh: the partitioned build lowers with ZERO
+    all-gathers and one all-reduce per level table, r5). The built tree
+    comes out replicated, so the shard_map'd round loop is unchanged.
+    Results differ from the replicated build only by partial-sum order
+    (f32 reassociation noise; pinned by tests/test_parallel.py at
+    tolerance, NOT bitwise — leave the default off where bitwise parity
+    with the single-chip path matters). Callers must place ``points``
+    and ``valid`` with ``NamedSharding(mesh, P("kf"))`` on the point
+    axis (``place_inputs`` below does it).
+
+    Returns ``(step, place_state, place_inputs)`` where ``place_inputs
+    (points, valid, stamp)`` builds correctly-placed global arrays for
+    one scan under either setting.
     """
     from madicp_tpu.parallel.mesh import state_shardings
     from madicp_tpu.models.pipeline import (
@@ -113,6 +135,7 @@ def make_sharded_pipeline_step(cfg: PipelineConfig, mesh: Mesh):
     proto = jax.eval_shape(lambda: init_state(cfg))
     shardings = state_shardings(mesh, proto)
     rep = NamedSharding(mesh, P())
+    pts_spec = NamedSharding(mesh, P("kf")) if shard_points else rep
 
     def psum_terms(t):
         out = (jax.lax.psum(t[0], "kf"), jax.lax.psum(t[1], "kf"))
@@ -142,18 +165,27 @@ def make_sharded_pipeline_step(cfg: PipelineConfig, mesh: Mesh):
 
     step = jax.jit(
         partial(_pipeline_step_impl, cfg, icp_rounds_fn=sharded_rounds),
-        in_shardings=(shardings, rep, rep, rep),
+        in_shardings=(shardings, pts_spec, pts_spec, rep),
         out_shardings=(shardings, rep),
     )
+
+    from madicp_tpu.parallel.mesh import make_global
 
     def place_state(state: PipelineState) -> PipelineState:
         # leaf-wise: device_put cannot target non-addressable devices,
         # so cross-process meshes build each global array from the
         # locally-held full value (parallel/mesh.py::make_global)
-        from madicp_tpu.parallel.mesh import make_global
-
         return jax.tree.map(
             lambda a, s: make_global(np.asarray(a), s), state, shardings
         )
 
-    return step, place_state
+    def place_inputs(points, valid, stamp):
+        """Global arrays for one scan, matching the step's in_shardings
+        (points/valid sharded over ``kf`` when ``shard_points``)."""
+        return (
+            make_global(np.asarray(points), pts_spec),
+            make_global(np.asarray(valid), pts_spec),
+            make_global(np.asarray(stamp), rep),
+        )
+
+    return step, place_state, place_inputs

@@ -92,22 +92,15 @@ def run_kf_sharded(mesh=None):
             )
         return np.asarray(state.X)
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from madicp_tpu.parallel.mesh import make_global, read_replicated
+    from madicp_tpu.parallel.mesh import read_replicated
     from madicp_tpu.parallel.sharded_icp import make_sharded_pipeline_step
 
     from madicp_tpu.parallel.distributed import barrier
 
-    step, place = make_sharded_pipeline_step(cfg, mesh)
+    step, place, place_inputs = make_sharded_pipeline_step(cfg, mesh)
     state = place(init_state(cfg))
-    rep = NamedSharding(mesh, P())
     scans = [
-        (
-            make_global(points[i, 0], rep),
-            make_global(valid[i, 0], rep),
-            make_global(np.asarray(stamps[i, 0]), rep),
-        )
+        place_inputs(points[i, 0], valid[i, 0], np.asarray(stamps[i, 0]))
         for i in range(N_SCANS)
     ]
     # AOT-compile BEFORE the first dispatch, then line both processes up

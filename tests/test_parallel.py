@@ -71,7 +71,7 @@ def test_sharded_pipeline_matches_unsharded(rng):
     scans, _ = synthetic_room_scans(rng, n_scans=4, n_points=1200, step=0.05)
     mesh = make_mesh(kf=4, seq=2)
 
-    step_s, place = make_sharded_pipeline_step(CFG, mesh)
+    step_s, place, _ = make_sharded_pipeline_step(CFG, mesh)
     state_s = place(init_state(CFG))
     state_u = init_state(CFG)
 
@@ -86,6 +86,36 @@ def test_sharded_pipeline_matches_unsharded(rng):
         assert bool(out_s.map_updated) == bool(out_u.map_updated)
     np.testing.assert_allclose(
         np.asarray(state_s.X), np.asarray(state_u.X), atol=1e-9
+    )
+
+
+def test_points_sharded_build_matches_unsharded(rng):
+    """``shard_points=True`` also shards the per-scan tree build over
+    the ``kf`` axis (GSPMD partitions the per-level scatter-adds; the
+    node tables all-reduce). The build's partial sums then accumulate
+    in a different order than the single-device scatter, so parity is
+    at f64-reassociation tolerance, NOT bitwise — the trees and the GN
+    normal equations are otherwise the same math (r5, NOTES)."""
+    scans, _ = synthetic_room_scans(rng, n_scans=4, n_points=1200, step=0.05)
+    mesh = make_mesh(kf=4, seq=2)
+
+    step_s, place, place_inputs = make_sharded_pipeline_step(
+        CFG, mesh, shard_points=True
+    )
+    state_s = place(init_state(CFG))
+    state_u = init_state(CFG)
+
+    for i, scan in enumerate(scans):
+        pts, valid = _pad(scan, CFG.n_points)
+        stamp = jnp.asarray(float(i), CFG.dtype)
+        state_s, out_s = step_s(*(state_s,) + place_inputs(pts, valid, stamp))
+        state_u, out_u = pipeline_step(CFG, state_u, pts, valid, stamp)
+        np.testing.assert_allclose(
+            np.asarray(out_s.pose), np.asarray(out_u.pose), atol=1e-6
+        )
+        assert bool(out_s.map_updated) == bool(out_u.map_updated)
+    np.testing.assert_allclose(
+        np.asarray(state_s.X), np.asarray(state_u.X), atol=1e-6
     )
 
 
@@ -145,7 +175,7 @@ def test_sharded_pipeline_matches_unsharded_fast(rng):
     scans, _ = synthetic_room_scans(rng, n_scans=4, n_points=1200, step=0.05)
     mesh = make_mesh(kf=4, seq=2)
 
-    step_s, place = make_sharded_pipeline_step(cfg, mesh)
+    step_s, place, _ = make_sharded_pipeline_step(cfg, mesh)
     state_s = place(init_state(cfg))
     state_u = init_state(cfg)
 
@@ -176,7 +206,7 @@ def test_sharded_pipeline_matches_unsharded_prefix(rng):
     scans, _ = synthetic_room_scans(rng, n_scans=4, n_points=1200, step=0.05)
     mesh = make_mesh(kf=4, seq=2)
 
-    step_s, place = make_sharded_pipeline_step(cfg, mesh)
+    step_s, place, _ = make_sharded_pipeline_step(cfg, mesh)
     state_s = place(init_state(cfg))
     state_u = init_state(cfg)
     state_p = init_state(plain)
