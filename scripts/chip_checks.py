@@ -213,6 +213,68 @@ def check_realtime_20hz() -> dict:
     }
 
 
+def check_drift_long() -> dict:
+    """110-scan corridor drive scored by the framework's own drift/ATE
+    evaluator — the chip twin of tests/test_long_horizon.py (which runs
+    f64 on CPU and is blind to TPU numerics by construction). Bars
+    match the CPU test: well below dataset-scale relevance, well above
+    fixture noise (CPU f64 measures ~0.105% drift / 4.3 mm ATE)."""
+    import tempfile
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+    ))
+    from tests_fixtures_helper import synthetic_corridor_scans
+
+    from madicp_tpu.apps.evaluate import evaluate
+    from madicp_tpu.models.pipeline import Pipeline
+    from madicp_tpu.utils.trajectory import write_transformed_pose
+
+    rng = np.random.default_rng(11)
+    scans, gt = synthetic_corridor_scans(
+        rng, n_scans=110, n_points=8192, step=0.25
+    )
+    T0_inv = np.linalg.inv(gt[0])
+    gt_rel = np.stack([T0_inv @ T for T in gt])
+
+    pipe = Pipeline(
+        sensor_hz=10.0, deskew=False, b_max=0.2, rho_ker=0.1, p_th=0.8,
+        b_min=0.1, b_ratio=0.02, num_keyframes=4,
+        n_points=8192, depth=13, max_leaves=4096,
+    )
+    poses, promotions = [], 0
+    for i, s in enumerate(scans):
+        pipe.compute(0.1 * i, s)
+        poses.append(pipe.current_pose())
+        promotions += int(pipe.is_map_updated())
+    est = np.stack(poses)
+
+    E = np.eye(4)
+    with tempfile.TemporaryDirectory() as td:
+        est_f, gt_f = os.path.join(td, "est.txt"), os.path.join(td, "gt.txt")
+        with open(est_f, "w") as f:
+            for T in est:
+                write_transformed_pose(f, T, E)
+        with open(gt_f, "w") as f:
+            for T in gt_rel:
+                write_transformed_pose(f, T, E)
+        m = evaluate(est_f, gt_f, lengths=(5.0, 10.0, 20.0))
+
+    end_err = float(np.linalg.norm(est[-1][:3, 3] - gt_rel[-1][:3, 3]))
+    return {
+        "drift_pct": round(float(m["t_err_pct"]), 4),
+        "ate_rmse_m": round(float(m["ate_rmse_m"]), 5),
+        "end_err_m": round(end_err, 5),
+        "promotions": promotions,
+        "segments": int(m["segments"]),
+        "pass": bool(
+            m["t_err_pct"] < 0.5 and m["ate_rmse_m"] < 0.02
+            and promotions >= 5
+        ),
+    }
+
+
 def check_bench() -> dict:
     """Abbreviated flagship-config schedule matrix; the full matrix is
     bench.py's job (run by the driver every round)."""
@@ -265,6 +327,7 @@ CHECKS = [
     ("onehot_exact", check_onehot_exact),
     ("motion_recovery", check_motion_recovery),
     ("certified_vs_exact", check_certified_vs_exact),
+    ("drift_long", check_drift_long),
     ("realtime_20hz", check_realtime_20hz),
     ("bench", check_bench),
 ]
