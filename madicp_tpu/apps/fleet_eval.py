@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard each sequence's keyframe ring over this "
                         "many devices (needs --seq-axis; total devices = "
                         "seq_axis * kf_axis — BASELINE.json configs[4])")
+    p.add_argument("--shard-points", action="store_true",
+                   help="also shard each sequence's input-cloud point "
+                        "axis over --kf-axis so the per-scan tree build "
+                        "partitions across devices (GSPMD; results "
+                        "within partial-sum reassociation noise of the "
+                        "replicated build — see NOTES r5)")
     p.add_argument("--max-scans", type=int, default=0,
                    help="cap scans per sequence (0 = shortest sequence)")
     p.add_argument("--json", action="store_true",
@@ -148,7 +154,11 @@ def main(argv=None) -> int:
     elif args.kf_axis != 1:
         print("error: --kf-axis needs --seq-axis (a mesh)", file=sys.stderr)
         return -1
-    fleet = Fleet(cfg, n_seq, mesh=mesh)
+    if args.shard_points and (mesh is None or args.kf_axis < 2):
+        print("error: --shard-points needs --kf-axis >= 2 (a mesh)",
+              file=sys.stderr)
+        return -1
+    fleet = Fleet(cfg, n_seq, mesh=mesh, shard_points=args.shard_points)
 
     E = np.asarray(data_cf.lidar_to_base, float)
     trajectories: list[list[np.ndarray]] = [[] for _ in range(n_seq)]

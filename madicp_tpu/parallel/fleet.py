@@ -35,10 +35,24 @@ class Fleet:
         cfg: PipelineConfig,
         n_seq: int,
         mesh: Optional[Mesh] = None,
+        shard_points: bool = False,
     ):
+        """``shard_points=True`` (needs a mesh with a ``kf`` axis)
+        additionally shards each sequence's input-cloud point axis over
+        ``kf``, letting GSPMD partition the per-scan tree build within
+        every sequence — the same points-parallel build as
+        ``make_sharded_pipeline_step(shard_points=True)`` (r5, NOTES):
+        per-level node tables all-reduce over ``kf``, nothing crosses
+        ``seq``. Results differ from the replicated build only by
+        partial-sum order (f32/f64 reassociation noise, pinned by
+        tests/test_parallel.py at tolerance, not bitwise)."""
         self.cfg = cfg
         self.n_seq = n_seq
         self.mesh = mesh
+        if shard_points and (
+            mesh is None or "kf" not in mesh.axis_names
+        ):
+            raise ValueError("shard_points needs a mesh with a 'kf' axis")
 
         states = jax.vmap(lambda _: init_state(cfg))(jnp.arange(n_seq))
         batched_step = jax.vmap(partial(pipeline_step, cfg))
@@ -51,6 +65,10 @@ class Fleet:
             proto = jax.eval_shape(lambda: init_state(cfg))
             st_shard = state_shardings(mesh, proto, batched=True)
             seq_s = NamedSharding(mesh, P("seq"))
+            pts_s = (
+                NamedSharding(mesh, P("seq", "kf"))
+                if shard_points else seq_s
+            )
             out_rep = jax.tree.map(
                 lambda _: seq_s,
                 jax.eval_shape(
@@ -66,11 +84,12 @@ class Fleet:
             )
             self._step = jax.jit(
                 batched_step,
-                in_shardings=(st_shard, seq_s, seq_s, seq_s),
+                in_shardings=(st_shard, pts_s, pts_s, seq_s),
                 out_shardings=(st_shard, out_rep),
                 donate_argnums=(0,),
             )
             self._seq_s = seq_s
+            self._pts_s = pts_s
             self.states = jax.tree.map(
                 lambda a, s: _make_global(a, s), states, st_shard
             )
@@ -97,8 +116,8 @@ class Fleet:
             # every process passes the FULL batch; cross-process meshes
             # slice out each process's addressable shards locally (DCN
             # carries nothing inside the step — 'seq' is pure DP)
-            points = _make_global(points, self._seq_s)
-            valid = _make_global(valid, self._seq_s)
+            points = _make_global(points, self._pts_s)
+            valid = _make_global(valid, self._pts_s)
             stamps = _make_global(stamps, self._seq_s)
         self.states, out = self._step(self.states, points, valid, stamps)
         return out

@@ -155,6 +155,44 @@ def test_fleet_matches_sequential(rng):
     )
 
 
+def test_fleet_points_sharded_matches_sequential(rng):
+    """Fleet(shard_points=True): each sequence's tree build partitions
+    over the kf sub-axis (GSPMD; nothing crosses seq). Parity with the
+    sequential pipelines at f64-reassociation tolerance — the partial
+    node-table sums accumulate in a different order (r5, NOTES)."""
+    n_seq = 2
+    all_scans = [
+        synthetic_room_scans(rng, n_scans=3, n_points=900, step=0.05)[0]
+        for _ in range(n_seq)
+    ]
+    mesh = make_mesh(kf=4, seq=2)
+    fleet = Fleet(CFG, n_seq, mesh=mesh, shard_points=True)
+
+    seq_pipes = [init_state(CFG) for _ in range(n_seq)]
+    for step_i in range(3):
+        pts_b, val_b = zip(
+            *[_pad(all_scans[s][step_i], CFG.n_points) for s in range(n_seq)]
+        )
+        out = fleet.compute(
+            np.arange(n_seq, dtype=float),
+            jnp.stack(pts_b),
+            jnp.stack(val_b),
+        )
+        for s in range(n_seq):
+            seq_pipes[s], out_u = pipeline_step(
+                CFG, seq_pipes[s], pts_b[s], val_b[s],
+                jnp.asarray(float(s), CFG.dtype),
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.pose[s]), np.asarray(out_u.pose), atol=1e-6
+            )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="kf"):
+        Fleet(CFG, 2, shard_points=True)  # no mesh
+
+
 def test_fleet_without_mesh(rng):
     scans, _ = synthetic_room_scans(rng, n_scans=2, n_points=600, step=0.05)
     fleet = Fleet(CFG, 2)
