@@ -155,7 +155,10 @@ def main(argv=None) -> int:
         print("error: --kf-axis needs --seq-axis (a mesh)", file=sys.stderr)
         return -1
     if args.shard_points and (mesh is None or args.kf_axis < 2):
-        print("error: --shard-points needs --kf-axis >= 2 (a mesh)",
+        # stricter than the library (which accepts a size-1 kf axis as
+        # a no-op): from the CLI a no-op flag is a user mistake
+        print("error: --shard-points shards the build over the kf axis; "
+              "pass --seq-axis and --kf-axis >= 2 to form that mesh",
               file=sys.stderr)
         return -1
     fleet = Fleet(cfg, n_seq, mesh=mesh, shard_points=args.shard_points)

@@ -27,6 +27,9 @@ Checks:
   certified_vs_exact  pose identity of the certified schedule against
                       the plain exact sweep on a short drive (f32:
                       sub-mm bound; f64 would be bitwise)
+  drift_long          110-scan corridor drive scored by the framework's
+                      drift/ATE evaluator — the chip twin of
+                      tests/test_long_horizon.py (same bars, imported)
   realtime_20hz       the vbr_os1 operating point — 20 Hz, deskew on
                       (the reference's tightest envelope,
                       pipeline.cpp:62,167): the rolling anytime
@@ -225,6 +228,13 @@ def check_drift_long() -> dict:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tests",
     ))
+    # the bars ARE the CPU twin's bars — import them so a future
+    # recalibration there cannot silently diverge from the chip tier
+    from test_long_horizon import (
+        ATE_M_MAX,
+        END_ERR_M_MAX,
+        T_ERR_PCT_MAX,
+    )
     from tests_fixtures_helper import synthetic_corridor_scans
 
     from madicp_tpu.apps.evaluate import evaluate
@@ -268,8 +278,13 @@ def check_drift_long() -> dict:
         "end_err_m": round(end_err, 5),
         "promotions": promotions,
         "segments": int(m["segments"]),
+        # the full CPU-twin gate: ATE is Umeyama-aligned, so the
+        # un-aligned endpoint error is what catches slow yaw-bias bends
         "pass": bool(
-            m["t_err_pct"] < 0.5 and m["ate_rmse_m"] < 0.02
+            m["t_err_pct"] < T_ERR_PCT_MAX
+            and m["ate_rmse_m"] < ATE_M_MAX
+            and end_err < END_ERR_M_MAX
+            and m["segments"] >= 15
             and promotions >= 5
         ),
     }

@@ -186,6 +186,13 @@ def test_fleet_points_sharded_matches_sequential(rng):
             np.testing.assert_allclose(
                 np.asarray(out.pose[s]), np.asarray(out_u.pose), atol=1e-6
             )
+    # persisted sharded state read-back path (poses() allgather), like
+    # the sibling replicated-build fleet test
+    np.testing.assert_allclose(
+        fleet.poses(),
+        np.stack([np.asarray(s.X) for s in seq_pipes]),
+        atol=1e-6,
+    )
 
     import pytest
 
