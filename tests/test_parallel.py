@@ -119,6 +119,27 @@ def test_points_sharded_build_matches_unsharded(rng):
     )
 
 
+def test_points_sharded_build_lowers_without_allgather():
+    """Non-vacuity pin for ``shard_points=True``: GSPMD must PARTITION
+    the build (per-level node tables all-reduce) rather than silently
+    all-gathering the sharded cloud and running it replicated — the
+    difference between a real points-parallel build and a no-op. The
+    whole compiled step must contain ZERO all-gather ops (r5: 0
+    all-gathers / 434 all-reduces on the 4x2 virtual mesh)."""
+    mesh = make_mesh(kf=4, seq=2)
+    step, place, place_inputs = make_sharded_pipeline_step(
+        CFG, mesh, shard_points=True
+    )
+    state = place(init_state(CFG))
+    pts = np.zeros((CFG.n_points, 3))
+    valid = np.ones(CFG.n_points, bool)
+    txt = step.lower(
+        *(state,) + place_inputs(pts, valid, 0.0)
+    ).compile().as_text()
+    assert "all-gather" not in txt, "sharded build fell back to all-gather"
+    assert txt.count("all-reduce") > 10, "no table reductions: not sharded?"
+
+
 def test_fleet_matches_sequential(rng):
     n_seq = 4
     all_scans = []
